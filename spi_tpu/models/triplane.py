@@ -1,0 +1,251 @@
+"""TriPlaneGenerator: EG3D generator facade.
+
+Spec: eg3d/training/triplane.py. Pipeline (triplane.py:53-89):
+camera 25-vec -> rays -> StyleGAN2 backbone -> 3x32-channel planes ->
+importance-rendered 32-ch feature image + depth at the neural
+resolution -> superresolution to the output resolution.
+
+TPU redesign: one pure function per entry point; the PRNG key is
+explicit (stratified/importance sampling jitter); planes are converted
+to channels-last once per synthesis for gather-friendly triplane
+lookup. `params` carries backbone, decoder and SR weights in
+torch-state_dict-shaped nesting.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from spi_tpu.models.rendering import ImportanceRenderer, RenderingOptions, sample_rays
+from spi_tpu.models.stylegan2 import (
+    FullyConnected,
+    Generator,
+    MappingNetwork,
+    Params,
+    SynthesisNetwork,
+)
+from spi_tpu.models.superresolution import Superresolution
+
+
+@dataclasses.dataclass(frozen=True)
+class OSGDecoder:
+    """2-layer softplus MLP 32 -> 64 -> 1+32 with MipNeRF sigmoid clamp
+    (triplane.py:112-135)."""
+
+    n_features: int = 32
+    hidden_dim: int = 64
+    output_dim: int = 32
+    lr_multiplier: float = 1.0
+
+    @property
+    def fc0(self) -> FullyConnected:
+        return FullyConnected(self.n_features, self.hidden_dim, lr_multiplier=self.lr_multiplier)
+
+    @property
+    def fc1(self) -> FullyConnected:
+        return FullyConnected(
+            self.hidden_dim, 1 + self.output_dim, lr_multiplier=self.lr_multiplier
+        )
+
+    def init(self, key) -> Params:
+        k0, k1 = jax.random.split(key)
+        # torch names: decoder.net.0 / decoder.net.2 (Sequential indices)
+        return {"net.0": self.fc0.init(k0), "net.2": self.fc1.init(k1)}
+
+    def __call__(self, params: Params, sampled_features, ray_directions):
+        """features: (N, M, C) already plane-aggregated; -> (rgb, sigma)."""
+        del ray_directions  # OSGDecoder ignores view direction
+        n, m, c = sampled_features.shape
+        x = sampled_features.reshape(n * m, c)
+        x = self.fc0(params["net.0"], x)
+        x = jax.nn.softplus(x)
+        x = self.fc1(params["net.2"], x)
+        x = x.reshape(n, m, -1)
+        rgb = jax.nn.sigmoid(x[..., 1:]) * (1 + 2 * 0.001) - 0.001
+        sigma = x[..., 0:1]
+        return rgb, sigma
+
+
+@dataclasses.dataclass(frozen=True)
+class TriPlaneGenerator:
+    z_dim: int = 512
+    c_dim: int = 25
+    w_dim: int = 512
+    img_resolution: int = 512
+    img_channels: int = 3
+    backbone_resolution: int = 256
+    plane_channels: int = 32
+    neural_rendering_resolution: int = 128
+    rendering: RenderingOptions = RenderingOptions()
+    sr_variant: str = "SuperresolutionHybrid8XDC"
+    sr_antialias: bool = True
+    sr_noise_mode: str = "none"  # rendering_kwargs['superresolution_noise_mode']
+    c_gen_conditioning_zero: bool = False
+    c_scale: float = 1.0
+    channel_base: int = 32768
+    channel_max: int = 512
+
+    # -- submodules -------------------------------------------------------
+    @property
+    def backbone(self) -> Generator:
+        return Generator(
+            z_dim=self.z_dim,
+            c_dim=self.c_dim,
+            w_dim=self.w_dim,
+            img_resolution=self.backbone_resolution,
+            img_channels=self.plane_channels * 3,
+            channel_base=self.channel_base,
+            channel_max=self.channel_max,
+        )
+
+    @property
+    def mapping_net(self) -> MappingNetwork:
+        return self.backbone.mapping
+
+    @property
+    def synthesis_net(self) -> SynthesisNetwork:
+        return self.backbone.synthesis
+
+    @property
+    def num_ws(self) -> int:
+        return self.backbone.num_ws
+
+    @property
+    def decoder(self) -> OSGDecoder:
+        return OSGDecoder(self.plane_channels, output_dim=self.plane_channels)
+
+    @property
+    def renderer(self) -> ImportanceRenderer:
+        return ImportanceRenderer(self.rendering)
+
+    @property
+    def superresolution(self) -> Superresolution:
+        return Superresolution(
+            variant=self.sr_variant,
+            img_resolution=self.img_resolution,
+            channels=self.plane_channels,
+            sr_antialias=self.sr_antialias,
+        )
+
+    def init(self, key) -> Params:
+        k0, k1, k2 = jax.random.split(key, 3)
+        return {
+            "backbone": self.backbone.init(k0),
+            "decoder": self.decoder.init(k1),
+            "superresolution": self.superresolution.init(k2),
+        }
+
+    # -- entry points (triplane.py:48-107) ---------------------------------
+    def mapping(self, params: Params, z, c, truncation_psi=1.0, truncation_cutoff=None):
+        if self.c_gen_conditioning_zero:
+            c = jnp.zeros_like(c)
+        return self.mapping_net(
+            params["backbone"]["mapping"],
+            z,
+            c * self.c_scale,
+            truncation_psi=truncation_psi,
+            truncation_cutoff=truncation_cutoff,
+        )
+
+    def _planes_nhwc(self, params: Params, ws, noise_mode="const", rng=None):
+        planes = self.synthesis_net(
+            params["backbone"]["synthesis"], ws, noise_mode=noise_mode, rng=rng
+        )  # (N, 96, H, W)
+        n, c, h, w = planes.shape
+        planes = planes.reshape(n, 3, self.plane_channels, h, w)
+        return jnp.transpose(planes, (0, 1, 3, 4, 2)).reshape(
+            n, 3, h * w, self.plane_channels
+        )
+
+    def synthesis(
+        self,
+        params: Params,
+        rng,
+        ws,
+        c,
+        neural_rendering_resolution: int | None = None,
+        noise_mode: str = "const",
+    ) -> dict[str, Any]:
+        """ws: (N, num_ws, w_dim); c: (N, 25). Returns image / image_raw /
+        image_depth (triplane.py:53-89)."""
+        res = neural_rendering_resolution or self.neural_rendering_resolution
+        cam2world = c[:, :16].reshape(-1, 4, 4)
+        intrinsics = c[:, 16:25].reshape(-1, 3, 3)
+
+        rng_render, rng_noise, rng_sr = jax.random.split(rng, 3)
+        ray_origins, ray_directions = sample_rays(cam2world, intrinsics, res)
+
+        planes = self._planes_nhwc(
+            params, ws, noise_mode=noise_mode,
+            rng=rng_noise if noise_mode == "random" else None,
+        )
+
+        def decode(feats, dirs):
+            return self.decoder(params["decoder"], feats, dirs)
+
+        feature_samples, depth_samples, _ = self.renderer(
+            rng_render, planes, decode, ray_origins, ray_directions
+        )
+
+        n = ws.shape[0]
+        feature_image = jnp.transpose(feature_samples, (0, 2, 1)).reshape(
+            n, feature_samples.shape[-1], res, res
+        )
+        depth_image = jnp.transpose(depth_samples, (0, 2, 1)).reshape(n, 1, res, res)
+
+        rgb_image = feature_image[:, :3]
+        sr_image = self.superresolution(
+            params["superresolution"],
+            rgb_image,
+            feature_image,
+            ws,
+            noise_mode=self.sr_noise_mode,
+            rng=rng_sr if self.sr_noise_mode == "random" else None,
+        )
+        return {"image": sr_image, "image_raw": rgb_image, "image_depth": depth_image}
+
+    def sample_mixed(self, params: Params, ws, coordinates, directions, noise_mode="const"):
+        """Density probe at arbitrary points from ws (triplane.py:98-102);
+        used by the TV loss and shape extraction."""
+        planes = self._planes_nhwc(params, ws, noise_mode=noise_mode)
+
+        def decode(feats, dirs):
+            return self.decoder(params["decoder"], feats, dirs)
+
+        return self.renderer.run_model(planes, decode, coordinates, directions)
+
+    def forward(self, params: Params, rng, z, c, truncation_psi=1.0, noise_mode="const"):
+        ws = self.mapping(params, z, c, truncation_psi=truncation_psi)
+        return self.synthesis(params, rng, ws, c, noise_mode=noise_mode)
+
+
+def ffhq512_128_config(**overrides) -> TriPlaneGenerator:
+    """Architecture of the shipped ffhqrebalanced512-128.pkl checkpoint
+    (spi/utils/load_utils.py:15-33 forces neural_rendering_resolution=128;
+    rendering kwargs per the EG3D FFHQ config read at triplane.py:41-44)."""
+    defaults = dict(
+        z_dim=512,
+        c_dim=25,
+        w_dim=512,
+        img_resolution=512,
+        neural_rendering_resolution=128,
+        rendering=RenderingOptions(
+            depth_resolution=48,
+            depth_resolution_importance=48,
+            ray_start=2.25,
+            ray_end=3.3,
+            box_warp=1.0,
+            white_back=False,
+        ),
+        sr_variant="SuperresolutionHybrid8XDC",
+        sr_antialias=True,
+        c_gen_conditioning_zero=False,
+        c_scale=1.0,
+    )
+    defaults.update(overrides)
+    return TriPlaneGenerator(**defaults)

@@ -1,0 +1,213 @@
+"""2D convolution with optional up/downsampling, TPU-native.
+
+Replaces the reference's conv2d_gradfix + conv2d_resample stack
+(eg3d/torch_utils/ops/conv2d_gradfix.py, conv2d_resample.py:48-145).
+The gradfix machinery (custom double-backward, weight-grad suppression)
+is unnecessary under JAX — true autodiff gives arbitrary-order gradients
+for free — so only the resampling composition logic is reproduced. The
+branch structure of `conv2d_resample` (which factors the up/FIR/conv/down
+pipeline into the cheapest primitive sequence) is kept because it is a
+shape-algebra spec, not a CUDA-ism: each branch maps to 1-2 fused XLA
+convolutions on the MXU.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from spi_tpu.ops.upfirdn2d import _parse_padding, upfirdn2d
+
+# MXU matmuls honour this; keeps fp32 conv accumulation exact vs torch.
+_PRECISION = lax.Precision.HIGHEST
+
+
+def conv2d(x, w, stride=1, padding=0, groups=1, flip_weight=True):
+    """torch.nn.functional.conv2d-compatible convolution.
+
+    x: (N, C, H, W); w: (O, C // groups, kh, kw).
+    flip_weight=True is cross-correlation (torch default); False flips the
+    kernel spatially (true convolution).
+    """
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    if isinstance(padding, int):
+        padding = (padding, padding)
+    if not flip_weight and (w.shape[2] > 1 or w.shape[3] > 1):
+        w = jnp.flip(w, axis=(2, 3))
+    return lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=tuple(stride),
+        padding=((padding[0], padding[0]), (padding[1], padding[1])),
+        feature_group_count=groups,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=_PRECISION,
+    )
+
+
+def conv_transpose2d(x, w, stride=1, padding=0, groups=1, flip_weight=True):
+    """torch.nn.functional.conv_transpose2d-compatible transposed conv.
+
+    x: (N, C, H, W); w: (C, O // groups, kh, kw) — torch's transposed
+    layout. Implemented as an input-dilated forward convolution (the
+    textbook gradient-of-conv identity), which XLA lowers to one fused
+    conv on the MXU.
+    """
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    if isinstance(padding, int):
+        padding = (padding, padding)
+    in_ch, out_pg, kh, kw = w.shape
+    # Per-group swap of in/out channel axes: (C, O/g, kh, kw) -> (O, C/g, kh, kw)
+    w = w.reshape(groups, in_ch // groups, out_pg, kh, kw)
+    w = jnp.transpose(w, (0, 2, 1, 3, 4))
+    w = w.reshape(groups * out_pg, in_ch // groups, kh, kw)
+    # Gradient-of-correlation flips the kernel; respect flip_weight on top.
+    if flip_weight:
+        w = jnp.flip(w, axis=(2, 3))
+    return lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(1, 1),
+        padding=(
+            (kh - 1 - padding[0], kh - 1 - padding[0]),
+            (kw - 1 - padding[1], kw - 1 - padding[1]),
+        ),
+        lhs_dilation=tuple(stride),
+        feature_group_count=groups,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=_PRECISION,
+    )
+
+
+def _conv2d_wrapper(x, w, stride=1, padding=0, groups=1, transpose=False, flip_weight=True):
+    """Mirror of the reference _conv2d_wrapper (conv2d_resample.py:30-43).
+
+    Note the reference flips the weight BEFORE dispatch when
+    flip_weight=False; for the transpose path torch's conv_transpose2d
+    then flips again internally. Our conv_transpose2d takes flip_weight
+    directly, so the semantics line up: transpose + flip_weight=True is
+    torch conv_transpose2d.
+    """
+    kh, kw = int(w.shape[2]), int(w.shape[3])
+    if isinstance(padding, int):
+        padding = (padding, padding)
+    if transpose:
+        return conv_transpose2d(
+            x, w, stride=stride, padding=padding, groups=groups, flip_weight=flip_weight
+        )
+    return conv2d(x, w, stride=stride, padding=padding, groups=groups, flip_weight=flip_weight)
+
+
+def conv2d_resample(x, w, f=None, up=1, down=1, padding=0, groups=1, flip_weight=True, flip_filter=False):
+    """2D convolution with optional up/downsampling.
+
+    Semantics match eg3d/torch_utils/ops/conv2d_resample.py:48-145:
+    padding is specified once w.r.t. the upsampled image; the FIR filter
+    `f` low-passes around resampling.
+
+    Args:
+      x: (N, C, H, W).
+      w: (O, C // groups, kh, kw).
+      f: FIR filter from setup_filter (numpy constant) or None.
+      up, down: integer resampling factors.
+      padding: int / (x, y) / (x0, x1, y0, y1) w.r.t. the upsampled image.
+    """
+    assert isinstance(up, int) and up >= 1
+    assert isinstance(down, int) and down >= 1
+    out_channels, in_channels_per_group, kh, kw = (int(s) for s in w.shape)
+    fw, fh = _filter_size(f)
+    px0, px1, py0, py1 = _parse_padding(padding)
+
+    # Adjust padding to account for up/downsampling.
+    if up > 1:
+        px0 += (fw + up - 1) // 2
+        px1 += (fw - up) // 2
+        py0 += (fh + up - 1) // 2
+        py1 += (fh - up) // 2
+    if down > 1:
+        px0 += (fw - down + 1) // 2
+        px1 += (fw - down) // 2
+        py0 += (fh - down + 1) // 2
+        py1 += (fh - down) // 2
+
+    # 1x1 kernel + downsampling only: downsample first, then convolve.
+    if kw == 1 and kh == 1 and (down > 1 and up == 1):
+        x = upfirdn2d(x, f, down=down, padding=[px0, px1, py0, py1], flip_filter=flip_filter)
+        return _conv2d_wrapper(x, w, groups=groups, flip_weight=flip_weight)
+
+    # 1x1 kernel + upsampling only: convolve first, then upsample.
+    if kw == 1 and kh == 1 and (up > 1 and down == 1):
+        x = _conv2d_wrapper(x, w, groups=groups, flip_weight=flip_weight)
+        return upfirdn2d(
+            x, f, up=up, padding=[px0, px1, py0, py1], gain=up**2, flip_filter=flip_filter
+        )
+
+    # Downsampling only: strided convolution.
+    if down > 1 and up == 1:
+        x = upfirdn2d(x, f, padding=[px0, px1, py0, py1], flip_filter=flip_filter)
+        return _conv2d_wrapper(x, w, stride=down, groups=groups, flip_weight=flip_weight)
+
+    # Upsampling (with optional downsampling): transposed strided conv.
+    if up > 1:
+        if groups == 1:
+            wt = jnp.transpose(w, (1, 0, 2, 3))
+        else:
+            wt = w.reshape(groups, out_channels // groups, in_channels_per_group, kh, kw)
+            wt = jnp.transpose(wt, (0, 2, 1, 3, 4))
+            wt = wt.reshape(groups * in_channels_per_group, out_channels // groups, kh, kw)
+        px0 -= kw - 1
+        px1 -= kw - up
+        py0 -= kh - 1
+        py1 -= kh - up
+        pxt = max(min(-px0, -px1), 0)
+        pyt = max(min(-py0, -py1), 0)
+        x = _conv2d_wrapper(
+            x,
+            wt,
+            stride=up,
+            padding=(pyt, pxt),
+            groups=groups,
+            transpose=True,
+            flip_weight=(not flip_weight),
+        )
+        x = upfirdn2d(
+            x,
+            f,
+            padding=[px0 + pxt, px1 + pxt, py0 + pyt, py1 + pyt],
+            gain=up**2,
+            flip_filter=flip_filter,
+        )
+        if down > 1:
+            x = upfirdn2d(x, f, down=down, flip_filter=flip_filter)
+        return x
+
+    # No resampling with symmetric non-negative padding: plain conv2d.
+    if up == 1 and down == 1:
+        if px0 == px1 and py0 == py1 and px0 >= 0 and py0 >= 0:
+            return _conv2d_wrapper(x, w, padding=(py0, px0), groups=groups, flip_weight=flip_weight)
+
+    # Generic fallback.
+    x = upfirdn2d(
+        x,
+        (f if up > 1 else None),
+        up=up,
+        padding=[px0, px1, py0, py1],
+        gain=up**2,
+        flip_filter=flip_filter,
+    )
+    x = _conv2d_wrapper(x, w, groups=groups, flip_weight=flip_weight)
+    if down > 1:
+        x = upfirdn2d(x, f, down=down, flip_filter=flip_filter)
+    return x
+
+
+def _filter_size(f) -> tuple[int, int]:
+    if f is None:
+        return 1, 1
+    f = np.asarray(f)
+    if f.ndim == 1:
+        return int(f.shape[0]), int(f.shape[0])
+    return int(f.shape[1]), int(f.shape[0])

@@ -1,0 +1,230 @@
+"""Generator-stack tests: shapes, determinism, gradient flow, and
+component-level numerics (run on a small generator config for speed;
+the FFHQ-512 architecture is exercised for shapes only).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spi_tpu.models.rendering import math_utils
+from spi_tpu.models.rendering.ray_marcher import march_rays
+from spi_tpu.models.rendering.ray_sampler import sample_rays
+from spi_tpu.models.rendering.renderer import (
+    RenderingOptions,
+    project_onto_planes,
+    sample_from_planes,
+    sample_pdf,
+)
+from spi_tpu.models.stylegan2 import FullyConnected, Generator, MappingNetwork
+from spi_tpu.models.triplane import TriPlaneGenerator, ffhq512_128_config
+from spi_tpu.utils import camera as cam
+
+
+def small_config(**kw):
+    defaults = dict(
+        z_dim=64,
+        c_dim=25,
+        w_dim=64,
+        img_resolution=128,
+        backbone_resolution=64,
+        neural_rendering_resolution=32,
+        rendering=RenderingOptions(depth_resolution=8, depth_resolution_importance=8),
+        sr_variant="SuperresolutionHybrid4X",
+        channel_base=2048,
+        channel_max=128,
+    )
+    defaults.update(kw)
+    return TriPlaneGenerator(**defaults)
+
+
+class TestLayers:
+    def test_fc_matches_manual(self):
+        fc = FullyConnected(8, 4, lr_multiplier=0.01, bias_init=1.0)
+        p = fc.init(jax.random.PRNGKey(0))
+        x = jnp.ones((2, 8))
+        y = fc(p, x)
+        w = p["weight"] * (0.01 / np.sqrt(8))
+        want = x @ w.T + p["bias"] * 0.01
+        np.testing.assert_allclose(np.asarray(y), np.asarray(want), rtol=1e-6)
+
+    def test_mapping_broadcast_and_truncation(self):
+        m = MappingNetwork(z_dim=32, c_dim=0, w_dim=32, num_ws=6)
+        p = m.init(jax.random.PRNGKey(0))
+        z = jax.random.normal(jax.random.PRNGKey(1), (3, 32))
+        ws = m(p, z, None)
+        assert ws.shape == (3, 6, 32)
+        # full truncation collapses to w_avg
+        ws_t = m(p, z, None, truncation_psi=0.0)
+        np.testing.assert_allclose(
+            np.asarray(ws_t), np.broadcast_to(np.asarray(p["w_avg"]), ws_t.shape), atol=1e-6
+        )
+
+    def test_backbone_shapes(self):
+        g = Generator(z_dim=32, c_dim=0, w_dim=32, img_resolution=64,
+                      img_channels=96, channel_base=2048, channel_max=128)
+        assert g.num_ws == 2 * 5 + 2  # blocks at 4..64: 1+2*4 convs + 1 torgb
+        p = g.init(jax.random.PRNGKey(0))
+        z = jax.random.normal(jax.random.PRNGKey(1), (2, 32))
+        img = g(p, z, None)
+        assert img.shape == (2, 96, 64, 64)
+        assert np.isfinite(np.asarray(img)).all()
+
+
+class TestRendering:
+    def test_plane_projection_axes(self):
+        pts = jnp.array([[[1.0, 2.0, 3.0]]])
+        proj = np.asarray(project_onto_planes(pts))[0, :, 0]
+        np.testing.assert_allclose(proj[0], [1.0, 2.0])  # (x, y)
+        np.testing.assert_allclose(proj[1], [1.0, 3.0])  # (x, z)
+        np.testing.assert_allclose(proj[2], [3.0, 1.0])  # (z, x)
+
+    def test_sample_from_planes_center(self):
+        # constant planes -> constant features anywhere strictly inside
+        c = 4
+        tables = jnp.ones((1, 3, 16 * 16, c)) * jnp.arange(1.0, c + 1)
+        pts = jnp.array([[[0.1, -0.2, 0.05], [0.0, 0.0, 0.0]]])
+        out = np.asarray(sample_from_planes(tables, pts, box_warp=1.0))
+        assert out.shape == (1, 3, 2, c)
+        np.testing.assert_allclose(out[0, :, 1], np.tile(np.arange(1.0, c + 1), (3, 1)), rtol=1e-5)
+
+    def test_ray_limits_box(self):
+        o = jnp.array([[[0.0, 0.0, -2.0], [0.0, 0.0, -2.0]]])
+        d = jnp.array([[[0.0, 0.0, 1.0], [0.0, 1.0, 0.0]]])
+        tmin, tmax = math_utils.get_ray_limits_box(o, d, box_side_length=1.0)
+        np.testing.assert_allclose(np.asarray(tmin)[0, 0, 0], 1.5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(tmax)[0, 0, 0], 2.5, atol=1e-5)
+        # miss
+        assert np.asarray(tmin)[0, 1, 0] == -1.0 and np.asarray(tmax)[0, 1, 0] == -2.0
+
+    def test_ray_sampler_matches_camera_position(self):
+        c = cam.canonical_camera()
+        c2w, K = cam.unpack_camera(c)
+        o, d = sample_rays(c2w, K, 8)
+        assert o.shape == (1, 64, 3) and d.shape == (1, 64, 3)
+        np.testing.assert_allclose(
+            np.asarray(o[0, 0]), np.asarray(c2w[0, :3, 3]), rtol=1e-5
+        )
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(d), axis=-1), 1.0, rtol=1e-5)
+        # central rays point roughly along camera forward (-z world here)
+        fwd = np.asarray(c2w[0, :3, 2])
+        mean_dir = np.asarray(d[0]).mean(0)
+        assert np.dot(fwd, mean_dir / np.linalg.norm(mean_dir)) > 0.99
+
+    def test_march_rays_opaque_surface(self):
+        # very dense at one depth -> composite depth near that sample
+        n, m, s = 1, 4, 16
+        depths = jnp.broadcast_to(jnp.linspace(1.0, 2.0, s).reshape(1, 1, s, 1), (n, m, s, 1))
+        colors = jnp.ones((n, m, s, 3)) * 0.8
+        dens = jnp.full((n, m, s, 1), -10.0)
+        dens = dens.at[:, :, 8].set(1000.0)
+        rgb, depth, w = march_rays(colors, dens, depths)
+        assert rgb.shape == (n, m, 3) and depth.shape == (n, m, 1)
+        np.testing.assert_allclose(np.asarray(depth), depths[0, 0, 8, 0], atol=0.06)
+        np.testing.assert_allclose(np.asarray(rgb), 0.8 * 2 - 1, atol=1e-3)
+
+    def test_sample_pdf_concentrates(self):
+        bins = jnp.broadcast_to(jnp.linspace(0.0, 1.0, 11), (4, 11))
+        weights = jnp.zeros((4, 10)).at[:, 5].set(100.0)
+        s = sample_pdf(jax.random.PRNGKey(0), bins, weights, 16)
+        s = np.asarray(s)
+        assert s.shape == (4, 16)
+        assert ((s > 0.45) & (s < 0.65)).mean() > 0.9
+
+
+class TestTriPlaneGenerator:
+    @pytest.fixture(scope="class")
+    def g_and_params(self):
+        g = small_config()
+        params = g.init(jax.random.PRNGKey(0))
+        return g, params
+
+    def test_synthesis_shapes_and_determinism(self, g_and_params):
+        g, params = g_and_params
+        c = cam.canonical_camera()
+        ws = jnp.zeros((1, g.num_ws, g.w_dim))
+        out = g.synthesis(params, jax.random.PRNGKey(1), ws, c)
+        assert out["image"].shape == (1, 3, g.img_resolution, g.img_resolution)
+        assert out["image_raw"].shape == (1, 3, 32, 32)
+        assert out["image_depth"].shape == (1, 1, 32, 32)
+        for v in out.values():
+            assert np.isfinite(np.asarray(v)).all()
+        out2 = g.synthesis(params, jax.random.PRNGKey(1), ws, c)
+        np.testing.assert_array_equal(np.asarray(out["image"]), np.asarray(out2["image"]))
+
+    def test_full_forward_jit(self, g_and_params):
+        g, params = g_and_params
+        c = cam.canonical_camera(batch_size=2)
+        z = jax.random.normal(jax.random.PRNGKey(2), (2, g.z_dim))
+
+        @jax.jit
+        def fwd(params, z, c, rng):
+            return g.forward(params, rng, z, c)["image"]
+
+        img = fwd(params, z, c, jax.random.PRNGKey(3))
+        assert img.shape == (2, 3, g.img_resolution, g.img_resolution)
+
+    def test_gradients_reach_all_params(self, g_and_params):
+        g, params = g_and_params
+        c = cam.canonical_camera()
+        ws = jnp.zeros((1, g.num_ws, g.w_dim))
+
+        def loss(p):
+            out = g.synthesis(p, jax.random.PRNGKey(0), ws, c)
+            return jnp.mean(out["image"] ** 2) + jnp.mean(out["image_depth"] ** 2)
+
+        grads = jax.grad(loss)(params)
+        flat, _ = jax.tree_util.tree_flatten(grads)
+        nonzero = sum(float(jnp.abs(g_).sum()) > 0 for g_ in flat)
+        # w_avg buffer gets no grad; nearly everything else should.
+        assert nonzero / len(flat) > 0.9
+
+    def test_sample_mixed(self, g_and_params):
+        g, params = g_and_params
+        ws = jnp.zeros((1, g.num_ws, g.w_dim))
+        pts = jax.random.uniform(jax.random.PRNGKey(1), (1, 100, 3), minval=-0.4, maxval=0.4)
+        rgb, sigma = g.sample_mixed(params, ws, pts, pts)
+        assert rgb.shape == (1, 100, g.plane_channels)
+        assert sigma.shape == (1, 100, 1)
+
+    def test_ffhq_architecture_counts(self):
+        g = ffhq512_128_config()
+        assert g.num_ws == 14
+        assert g.backbone.synthesis.block_resolutions == (4, 8, 16, 32, 64, 128, 256)
+        assert g.backbone.synthesis.channels(256) == 128
+        assert g.superresolution.block0.out_channels == 256
+
+
+class TestCameraUtils:
+    def test_canonical_camera_radius(self):
+        c = cam.canonical_camera()
+        ext, K = cam.unpack_camera(c)
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(ext[0, :3, 3])), 2.7, rtol=1e-5
+        )
+        np.testing.assert_allclose(np.asarray(K[0, 0, 0]), 4.2647, rtol=1e-6)
+
+    def test_mirror_camera_involution(self):
+        c = cam.sample_camera(jax.random.PRNGKey(0), batch_size=3)
+        c_m = cam.mirror_camera(cam.mirror_camera(c))
+        np.testing.assert_allclose(np.asarray(c_m), np.asarray(c), rtol=1e-6)
+
+    def test_mirror_flips_yaw(self):
+        c = cam.canonical_camera(yaw=0.3)
+        y0 = float(cam.camera_yaw(c)[0])
+        y1 = float(cam.camera_yaw(cam.mirror_camera(c))[0])
+        np.testing.assert_allclose(y0, -y1, atol=1e-5)
+
+    def test_camera_weight_frontal_zero(self):
+        c = cam.canonical_camera(yaw=0.0)
+        assert float(cam.cal_camera_weight(c)[0]) == 0.0
+        c_side = cam.canonical_camera(yaw=0.6)
+        assert float(cam.cal_camera_weight(c_side)[0]) > 0.1
+
+    def test_surrounding_camera_perturbs(self):
+        c = cam.canonical_camera()
+        cs = cam.sample_surrounding_camera(jax.random.PRNGKey(0), c, batch_size=4, yaw_range=0.2)
+        assert cs.shape == (4, 25)
+        yaws = np.asarray(cam.camera_yaw(cs))
+        assert np.abs(yaws).max() < 0.35 and np.abs(yaws).std() > 0
