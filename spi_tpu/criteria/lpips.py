@@ -1,0 +1,90 @@
+"""LPIPS perceptual distance (VGG16 backbone).
+
+Spec: spi/criteria/lpips/lpips.py:32-71 + networks.py:36-58,88-96:
+- inputs in [-1, 1]; if larger than 256, bilinear-resize to 256
+  (align_corners=False, no antialias)
+- shift/scale with the LPIPS constants (mean [-.030,-.088,-.188],
+  std [.458,.448,.450]) — equivalent to ImageNet normalization of the
+  [0,1] image
+- VGG16 activations at relu1_2, relu2_2, relu3_3, relu4_3, relu5_3,
+  channel-unit-normalized
+- squared difference -> 1x1 'lin' head -> spatial mean -> sum over
+  layers and batch, divided by batch
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from spi_tpu.models.perception.vgg import VGG16_CFG, VGGFeatures
+from spi_tpu.ops import resize_bilinear
+
+_SHIFT = jnp.array([-0.030, -0.088, -0.188], jnp.float32)
+_SCALE = jnp.array([0.458, 0.448, 0.450], jnp.float32)
+
+_N_CHANNELS = (64, 128, 256, 512, 512)
+
+
+def _normalize_activation(x, eps=1e-10):
+    norm = jnp.sqrt(jnp.sum(jnp.square(x), axis=1, keepdims=True))
+    return x / (norm + eps)
+
+
+@dataclasses.dataclass(frozen=True)
+class LPIPS:
+    """params = {'net': vgg features pytree, 'lin': [(C_l,) weights]}."""
+
+    max_size: int = 256
+
+    @property
+    def net(self) -> VGGFeatures:
+        return VGGFeatures(cfg=VGG16_CFG, target_layers=(3, 8, 15, 22, 29))
+
+    def init(self, key):
+        knet, klin = jax.random.split(key)
+        lin_keys = jax.random.split(klin, len(_N_CHANNELS))
+        return {
+            "net": self.net.init(knet),
+            # lin heads are 1x1 convs without bias; stored as (C,) vectors.
+            "lin": [
+                jnp.abs(jax.random.normal(k, (c,), jnp.float32)) / c
+                for k, c in zip(lin_keys, _N_CHANNELS)
+            ],
+        }
+
+    def features(self, params, x):
+        """x in [-1,1], (N,3,H,W) -> list of unit-normalized activations."""
+        if x.shape[-1] > self.max_size:
+            x = resize_bilinear(x, (self.max_size, self.max_size))
+        x = (x - _SHIFT[None, :, None, None]) / _SCALE[None, :, None, None]
+        feats = self.net(params["net"], x)
+        return [_normalize_activation(f) for f in feats]
+
+    def __call__(self, params, x, y, mask=None):
+        """Perceptual distance, summed over batch / batch size
+        (lpips.py:33-71). mask: optional (N,1,H,W) in [0,1], area-pooled to
+        each feature resolution."""
+        n = x.shape[0]
+        fx = self.features(params, x)
+        fy = self.features(params, y)
+        total = 0.0
+        for f_x, f_y, lin in zip(fx, fy, params["lin"]):
+            diff = jnp.square(f_x - f_y)
+            if mask is not None:
+                h = diff.shape[-1]
+                m = _area_pool_to(mask, h)
+                diff = diff * m
+            # 1x1 conv with (C,) weights == channel-weighted sum.
+            per_pixel = jnp.einsum("nchw,c->nhw", diff, lin)
+            total = total + jnp.sum(jnp.mean(per_pixel, axis=(1, 2)))
+        return total / n
+
+
+def _area_pool_to(mask, size: int):
+    n, c, h, w = mask.shape
+    assert h % size == 0
+    f = h // size
+    return mask.reshape(n, c, size, f, size, f).mean(axis=(3, 5))

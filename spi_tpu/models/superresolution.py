@@ -30,6 +30,7 @@ class Superresolution:
     img_resolution: int
     channels: int = 32
     sr_antialias: bool = True
+    w_dim: int = 512
 
     @property
     def input_resolution(self) -> int:
@@ -44,22 +45,22 @@ class Superresolution:
     def block0(self) -> SynthesisBlock:
         if self.variant == "SuperresolutionHybrid8XDC":
             return SynthesisBlock(
-                self.channels, 256, w_dim=512, resolution=256,
+                self.channels, 256, w_dim=self.w_dim, resolution=256,
                 img_channels=3, is_last=False, conv_clamp=None, up=2,
             )
         if self.variant == "SuperresolutionHybrid8X":
             return SynthesisBlock(
-                self.channels, 128, w_dim=512, resolution=256,
+                self.channels, 128, w_dim=self.w_dim, resolution=256,
                 img_channels=3, is_last=False, conv_clamp=None, up=2,
             )
         if self.variant == "SuperresolutionHybrid4X":
             return SynthesisBlock(
-                self.channels, 128, w_dim=512, resolution=128,
+                self.channels, 128, w_dim=self.w_dim, resolution=128,
                 img_channels=3, is_last=False, conv_clamp=None, up=1,
             )
         if self.variant == "SuperresolutionHybrid2X":
             return SynthesisBlock(
-                self.channels, 128, w_dim=512, resolution=64,
+                self.channels, 128, w_dim=self.w_dim, resolution=64,
                 img_channels=3, is_last=False, conv_clamp=None, up=1,
             )
         raise ValueError(self.variant)
@@ -68,11 +69,11 @@ class Superresolution:
     def block1(self) -> SynthesisBlock:
         out_res = self.img_resolution
         in_ch = self.block0.out_channels
-        out_ch = {512: 128, 256: 64, 128: 64}[out_res]
-        if self.variant == "SuperresolutionHybrid8XDC":
-            out_ch = 128
+        # reference block1 widths: 64 everywhere except the DC variant
+        # (superresolution.py:41,73,106,276)
+        out_ch = 128 if self.variant == "SuperresolutionHybrid8XDC" else 64
         return SynthesisBlock(
-            in_ch, out_ch, w_dim=512, resolution=out_res,
+            in_ch, out_ch, w_dim=self.w_dim, resolution=out_res,
             img_channels=3, is_last=True, conv_clamp=None, up=2,
         )
 

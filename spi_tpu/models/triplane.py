@@ -55,16 +55,16 @@ class OSGDecoder:
     def init(self, key) -> Params:
         k0, k1 = jax.random.split(key)
         # torch names: decoder.net.0 / decoder.net.2 (Sequential indices)
-        return {"net.0": self.fc0.init(k0), "net.2": self.fc1.init(k1)}
+        return {"net": {"0": self.fc0.init(k0), "2": self.fc1.init(k1)}}
 
     def __call__(self, params: Params, sampled_features, ray_directions):
         """features: (N, M, C) already plane-aggregated; -> (rgb, sigma)."""
         del ray_directions  # OSGDecoder ignores view direction
         n, m, c = sampled_features.shape
         x = sampled_features.reshape(n * m, c)
-        x = self.fc0(params["net.0"], x)
+        x = self.fc0(params["net"]["0"], x)
         x = jax.nn.softplus(x)
-        x = self.fc1(params["net.2"], x)
+        x = self.fc1(params["net"]["2"], x)
         x = x.reshape(n, m, -1)
         rgb = jax.nn.sigmoid(x[..., 1:]) * (1 + 2 * 0.001) - 0.001
         sigma = x[..., 0:1]
@@ -130,15 +130,21 @@ class TriPlaneGenerator:
             img_resolution=self.img_resolution,
             channels=self.plane_channels,
             sr_antialias=self.sr_antialias,
+            w_dim=self.w_dim,
         )
 
     def init(self, key) -> Params:
-        k0, k1, k2 = jax.random.split(key, 3)
-        return {
-            "backbone": self.backbone.init(k0),
-            "decoder": self.decoder.init(k1),
-            "superresolution": self.superresolution.init(k2),
-        }
+        # One jitted program: eager init dispatches hundreds of ops.
+        @jax.jit
+        def _init(key):
+            k0, k1, k2 = jax.random.split(key, 3)
+            return {
+                "backbone": self.backbone.init(k0),
+                "decoder": self.decoder.init(k1),
+                "superresolution": self.superresolution.init(k2),
+            }
+
+        return _init(key)
 
     # -- entry points (triplane.py:48-107) ---------------------------------
     def mapping(self, params: Params, z, c, truncation_psi=1.0, truncation_cutoff=None):

@@ -7,7 +7,11 @@ device mesh on CPU. Environment must be set before jax imports.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the ambient environment pins JAX_PLATFORMS=axon (the real
+# TPU tunnel), where eager per-op dispatch makes tests pathologically
+# slow. Tests are numerics/structure checks; TPU runs happen via bench.py
+# and the verify drive.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,4 +20,7 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# The ambient axon sitecustomize forces jax_platforms="axon,cpu" via
+# jax.config (env vars are ignored); override it back to CPU-only.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
