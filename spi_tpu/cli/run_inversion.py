@@ -1,0 +1,119 @@
+"""SPI inversion CLI.
+
+Flag names and defaults mirror spi/run_inversion.py:18-42; output
+directory layout mirrors :60-79. Loads the converted EG3D checkpoint
+(see spi_tpu.convert) or a randomly initialized generator with
+--random_init (useful for smoke/perf runs without weights).
+
+Usage:
+    python -m spi_tpu.cli.run_inversion \
+        --data_root <root with crop/ c/ mask/ lm/> \
+        --output_root out/ \
+        --eg3d_ckpt checkpoints/ffhqrebalanced512-128.npz \
+        --first_inv_type mir --first_inv_steps 500 \
+        --G_1_type RotBbox --G_1_step 1000 \
+        --pt_rot_lambda 0.1 --pt_mirror_rot_lambda 0.05 --pt_depth_lambda 1
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="TPU-native SPI inversion")
+    parser.add_argument("--data_root", type=str, required=True)
+    parser.add_argument("--data_mode", type=str, default="png")
+    parser.add_argument("--output_root", type=str, default="test/output/")
+    parser.add_argument("--eg3d_ckpt", type=str, default="checkpoints/ffhqrebalanced512-128.npz")
+    parser.add_argument("--perception_ckpt", type=str, default=None,
+                        help="npz bundle from spi_tpu.convert with VGG/ArcFace weights")
+    parser.add_argument("--random_init", action="store_true", default=False,
+                        help="random generator/perception weights (smoke/perf runs)")
+    parser.add_argument("--use_adapt_yaw_range", action="store_true", default=False)
+    parser.add_argument("--not_use_wandb", action="store_true", default=False)
+
+    parser.add_argument("--first_inv_type", type=str, default="sg")
+    parser.add_argument("--first_inv_steps", type=int, default=500)
+    parser.add_argument("--G_1_step", type=int, default=500)
+    parser.add_argument("--G_1_type", type=str, default="RotBbox")
+    parser.add_argument("--G_2_step", type=int, default=500)
+    parser.add_argument("--load_embedding_coach_name", type=str, default=None)
+
+    parser.add_argument("--pt_rot_lambda", type=float, default=0)
+    parser.add_argument("--pt_mirror_rot_lambda", type=float, default=0)
+    parser.add_argument("--pt_depth_lambda", type=float, default=0)
+    parser.add_argument("--pt_tv_lambda", type=float, default=0)
+
+    parser.add_argument("--description", type=str, default=None)
+    parser.add_argument("--dataset_block", type=str, default=None, help="1/20")
+    parser.add_argument("--select_range", type=int, default=None)
+    parser.add_argument("--filter_index", type=str, default=None, help="1,2,3")
+    parser.add_argument("--save_video", action="store_true", default=False)
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax
+
+    from spi_tpu.data.dataset import PTIDataset
+    from spi_tpu.models.triplane import ffhq512_128_config
+    from spi_tpu.training.pipeline import InversionPipeline, PipelineConfig
+
+    generator = ffhq512_128_config()
+    if args.random_init:
+        g_params = generator.init(jax.random.PRNGKey(0))
+        perception = None
+    else:
+        from spi_tpu.utils.checkpoint import load_pytree
+
+        like = generator.init(jax.random.PRNGKey(0))
+        g_params = load_pytree(args.eg3d_ckpt, like=like)
+        perception = None
+        if args.perception_ckpt:
+            perception = load_pytree(args.perception_ckpt)
+
+    config = PipelineConfig(
+        output_root=args.output_root,
+        first_inv_type=args.first_inv_type,
+        first_inv_steps=args.first_inv_steps,
+        G_1_type=args.G_1_type,
+        G_1_step=args.G_1_step,
+        pt_rot_lambda=args.pt_rot_lambda,
+        pt_mirror_rot_lambda=args.pt_mirror_rot_lambda,
+        pt_depth_lambda=args.pt_depth_lambda,
+        pt_tv_lambda=args.pt_tv_lambda,
+        use_adapt_yaw_range=args.use_adapt_yaw_range,
+        load_embedding_coach_name=args.load_embedding_coach_name,
+        description=args.description,
+        save_video=args.save_video,
+    )
+
+    dataset = PTIDataset(
+        source_root=os.path.join(args.data_root, "crop"),
+        c_root=os.path.join(args.data_root, "c"),
+        mask_root=os.path.join(args.data_root, "mask"),
+        lm_root=os.path.join(args.data_root, "lm"),
+        target_name="target",
+        mode=args.data_mode,
+        dataset_block=args.dataset_block,
+        select_range=args.select_range,
+        filter_index=args.filter_index.split(",") if args.filter_index else None,
+    )
+
+    pipeline = InversionPipeline(generator, g_params, config, perception)
+    results = pipeline.run(dataset)
+    for r in results:
+        print(
+            f"{r.get('w').shape} stage1={r['stage1_s']:.1f}s "
+            f"stage2={r['stage2_s']:.1f}s steps={r['steps_run']} "
+            f"metrics={r.get('metrics')}"
+        )
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,220 @@
+"""Torch checkpoint -> JAX pytree conversion (the ONLY module that may
+import torch; SURVEY.md §7 step 1).
+
+Handles:
+- the EG3D persistence pickle `ffhqrebalanced512-128.pkl` (source-
+  carrying pickle per eg3d/torch_utils/persistence.py:37; loaded WITHOUT
+  executing the embedded class source via a stub unpickler) -> generator
+  npz + rendering_kwargs json;
+- plain state_dict checkpoints: model_ir_se50.pth (ArcFace), torchvision
+  VGG16/VGG19, LPIPS lin weights, bisenet.pth.
+
+Usage:
+    python -m spi_tpu.convert eg3d  checkpoints/ffhqrebalanced512-128.pkl out/eg3d.npz
+    python -m spi_tpu.convert irse50 checkpoints/model_ir_se50.pth out/irse50.npz
+    python -m spi_tpu.convert vgg16  <torchvision .pth>              out/vgg16.npz
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import pickle
+import sys
+from typing import Any
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Persistence-pickle loading without executing embedded source
+# ---------------------------------------------------------------------------
+
+
+class _PersistentStub:
+    """Stands in for a persistence-reconstructed torch module: keeps the
+    recorded init args and raw state so parameters can be walked out."""
+
+    def __init__(self, meta: dict):
+        self.meta = meta
+
+    @property
+    def class_name(self) -> str:
+        return self.meta.get("class_name", "?")
+
+    @property
+    def state(self) -> dict:
+        return self.meta.get("state", {})
+
+
+def _stub_reconstruct(meta):
+    return _PersistentStub(meta)
+
+
+class _EasyDict(dict):
+    def __getattr__(self, k):
+        return self[k]
+
+    def __setattr__(self, k, v):
+        self[k] = v
+
+
+def load_persistence_pickle(path: str) -> dict:
+    """torch.load with the persistence machinery stubbed out."""
+    import torch
+
+    class StubUnpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            if name == "_reconstruct_persistent_obj":
+                return _stub_reconstruct
+            if name == "EasyDict":
+                return _EasyDict
+            if module.startswith(("torch_utils", "dnnlib", "training", "legacy")):
+                # Any other reference-internal symbol: return a stub type.
+                return _PersistentStub
+            return super().find_class(module, name)
+
+    class _PickleModule:
+        Unpickler = StubUnpickler
+
+        @staticmethod
+        def load(f, **kw):
+            return StubUnpickler(f).load()
+
+        @staticmethod
+        def loads(s, **kw):
+            return StubUnpickler(io.BytesIO(s)).load()
+
+    return torch.load(path, map_location="cpu", pickle_module=_PickleModule)
+
+
+def _walk_module_state(state: dict, prefix: str, out: dict[str, np.ndarray]):
+    """Recursively collect parameters/buffers from an nn.Module __dict__
+    (persistence stores module state as the raw __dict__)."""
+    import torch
+
+    for kind in ("_parameters", "_buffers"):
+        for name, tensor in (state.get(kind) or {}).items():
+            if tensor is None:
+                continue
+            out[prefix + name] = tensor.detach().cpu().numpy()
+    for name, sub in (state.get("_modules") or {}).items():
+        if sub is None:
+            continue
+        if isinstance(sub, _PersistentStub):
+            _walk_module_state(sub.state, f"{prefix}{name}.", out)
+        elif isinstance(sub, torch.nn.Module):
+            for pname, tensor in sub.state_dict().items():
+                out[f"{prefix}{name}.{pname}"] = tensor.detach().cpu().numpy()
+
+
+def eg3d_pickle_to_flat(path: str, key: str = "G_ema"):
+    """Returns (flat {torch_name: ndarray}, init_kwargs dict)."""
+    data = load_persistence_pickle(path)
+    g = data[key]
+    assert isinstance(g, _PersistentStub), type(g)
+    flat: dict[str, np.ndarray] = {}
+    _walk_module_state(g.state, "", flat)
+    init_kwargs = g.meta.get("init_kwargs") or g.state.get("init_kwargs") or {}
+    # persistence records construction args on the object
+    for k in ("_init_kwargs", "init_kwargs"):
+        if k in g.state and g.state[k]:
+            init_kwargs = g.state[k]
+    return flat, _to_plain(init_kwargs)
+
+
+def _to_plain(obj: Any):
+    if isinstance(obj, dict):
+        return {k: _to_plain(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_to_plain(v) for v in obj]
+    if hasattr(obj, "item") and getattr(obj, "ndim", 1) == 0:
+        return obj.item()
+    return obj
+
+
+# ---------------------------------------------------------------------------
+# torch-name -> spi_tpu-name mapping for the generator
+# ---------------------------------------------------------------------------
+
+_SKIP_SUFFIXES = ("resample_filter", "num_batches_tracked")
+
+
+def map_generator_names(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """The spi_tpu generator pytree uses torch state_dict naming, so this
+    is a filter (drop constant filters) + passthrough."""
+    out = {}
+    for name, arr in flat.items():
+        if name.endswith(_SKIP_SUFFIXES):
+            continue
+        out[name] = np.asarray(arr, dtype=np.float32)
+    return out
+
+
+def convert_eg3d(src: str, dst: str):
+    flat, init_kwargs = eg3d_pickle_to_flat(src)
+    mapped = map_generator_names(flat)
+    np.savez(dst, **mapped)
+    with open(dst + ".json", "w") as f:
+        json.dump(init_kwargs, f, indent=2, default=str)
+    print(f"wrote {len(mapped)} arrays to {dst}")
+    return mapped, init_kwargs
+
+
+# ---------------------------------------------------------------------------
+# Plain state_dict conversions
+# ---------------------------------------------------------------------------
+
+
+def convert_state_dict(src: str, dst: str, strip_prefix: str = ""):
+    import torch
+
+    sd = torch.load(src, map_location="cpu")
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    if "state_dict" in sd and isinstance(sd["state_dict"], dict):
+        sd = sd["state_dict"]
+    out = {}
+    for name, tensor in sd.items():
+        if name.endswith(_SKIP_SUFFIXES):
+            continue
+        if strip_prefix and name.startswith(strip_prefix):
+            name = name[len(strip_prefix):]
+        out[name] = tensor.detach().cpu().numpy().astype(np.float32)
+    np.savez(dst, **out)
+    print(f"wrote {len(out)} arrays to {dst}")
+    return out
+
+
+def convert_torchvision_vgg(arch: str, dst: str, weights_path: str | None = None):
+    """VGG16/19 `features` weights for LPIPS / BoxCX."""
+    import torch
+    import torchvision
+
+    if weights_path:
+        sd = torch.load(weights_path, map_location="cpu")
+    else:
+        model = getattr(torchvision.models, arch)(weights="IMAGENET1K_V1")
+        sd = model.state_dict()
+    out = {
+        name: t.detach().cpu().numpy().astype(np.float32)
+        for name, t in sd.items()
+        if name.startswith("features.")
+    }
+    np.savez(dst, **out)
+    print(f"wrote {len(out)} arrays to {dst}")
+    return out
+
+
+def main(argv=None):
+    argv = argv or sys.argv[1:]
+    kind, src, dst = argv[0], argv[1], argv[2]
+    if kind == "eg3d":
+        convert_eg3d(src, dst)
+    elif kind in ("vgg16", "vgg19"):
+        convert_torchvision_vgg(kind, dst, weights_path=src if src != "-" else None)
+    else:
+        convert_state_dict(src, dst)
+
+
+if __name__ == "__main__":
+    main()

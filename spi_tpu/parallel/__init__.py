@@ -1,0 +1,14 @@
+"""Device-mesh parallelism.
+
+The reference's only parallelism is embarrassing data-parallel inversion
+(one image per GPU process, shell-level sharding —
+spi/data/images_dataset.py:149-158 + CUDA_VISIBLE_DEVICES) plus NCCL
+all-reduce in the vendored GAN trainer (SURVEY.md §2.7). The TPU-native
+equivalent is SPMD over a jax.sharding.Mesh: images batched along a
+'data' axis with per-image generator replicas sharded alongside, and
+XLA collectives (psum) for metric aggregation.
+"""
+
+from spi_tpu.parallel.mesh import batched_tuning_step, data_mesh, replicate, shard_batch
+
+__all__ = ["data_mesh", "shard_batch", "replicate", "batched_tuning_step"]
