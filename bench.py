@@ -1,0 +1,171 @@
+"""Benchmark: per-image SPI inversion wall-clock on one TPU chip.
+
+Measures the two hot loops of the pipeline (SURVEY.md §3.1) on the real
+device with the full FFHQ-512 architecture (random weights — wall-clock
+is weight-independent):
+  stage 1: one 'sg' projector step (synthesis fwd+bwd over (w, noise)
+           + VGG feature distance + noise regularizer + Adam)
+  stage 2: RotBbox steps amortized over the rot_bs=4 cadence (recon
+           L2+LPIPS every step; rot-warp LPIPS + 4-camera depth anchor
+           every 4th), gradients over the full ~31M-param generator.
+
+Reports the extrapolated wall-clock for the reference workload
+(500 stage-1 + 1000 stage-2 steps) vs the 120 s north-star target
+(BASELINE.md): vs_baseline > 1 means faster than target.
+
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def time_scan_steps(step_fn, carry, target, n_steps: int):
+    """Compile + run a scanned loop of step_fn(carry, step, target),
+    return seconds/step. `target` is a jit ARGUMENT (a closure capture
+    would be constant-folded through the perception nets at compile
+    time)."""
+    scan_n = jax.jit(
+        lambda c, t: jax.lax.scan(lambda cc, s: step_fn(cc, s, t), c, jnp.arange(n_steps))[0]
+    )
+    out = scan_n(carry, target)
+    jax.block_until_ready(out)  # compile + first run
+    t0 = time.time()
+    out = scan_n(carry, target)
+    jax.block_until_ready(out)
+    return (time.time() - t0) / n_steps
+
+
+def main():
+    import optax
+
+    from spi_tpu.criteria.lpips import LPIPS
+    from spi_tpu.criteria.noise_reg import noise_regularization, normalize_noise
+    from spi_tpu.models.triplane import ffhq512_128_config
+    from spi_tpu.training import coaches
+    from spi_tpu.training.projectors import ProjectorSettings, vgg_feature_distance
+    from spi_tpu.utils.camera import canonical_camera
+    from spi_tpu.utils.params import extract_noise, replace_noise, trainable_mask
+
+    generator = ffhq512_128_config()
+    key = jax.random.PRNGKey(0)
+    kg, kl, kt = jax.random.split(key, 3)
+    g_params = generator.init(kg)
+    lpips = LPIPS()
+    lpips_params = lpips.init(kl)
+
+    target = jax.random.normal(kt, (1, 3, 512, 512), jnp.float32).clip(-1, 1)
+    camera = canonical_camera()
+    settings = ProjectorSettings()
+
+    # ---- stage 1 step -----------------------------------------------------
+    noise0 = extract_noise(g_params)
+    w0 = jnp.zeros((1, 1, generator.w_dim))
+    opt1 = optax.scale_by_adam()
+    p0 = {"w": w0, "noise": noise0}
+    s1_carry = (p0, opt1.init(p0))
+
+    from spi_tpu.ops import resize_area
+
+    def s1_loss(p, rng, target):
+        g = replace_noise(g_params, p["noise"])
+        ws = jnp.tile(p["w"], (1, generator.num_ws, 1))
+        img = generator.synthesis(g, rng, ws, camera, noise_mode="const")["image"]
+        x = resize_area(img, (256, 256))
+        y = resize_area(target, (256, 256))
+        dist = vgg_feature_distance(lpips, lpips_params, x, y)
+        return dist + noise_regularization(p["noise"]) * settings.regularize_noise_weight
+
+    def s1_step(carry, step, target):
+        p, opt_state = carry
+        rng = jax.random.fold_in(jax.random.PRNGKey(7), step)
+        grads = jax.grad(s1_loss)(p, rng, target)
+        updates, opt_state = opt1.update(grads, opt_state)
+        p = jax.tree_util.tree_map(lambda a, u: a - 5e-3 * u, p, updates)
+        p = {"w": p["w"], "noise": normalize_noise(p["noise"])}
+        return (p, opt_state), None
+
+    t_stage1 = time_scan_steps(s1_step, s1_carry, target, n_steps=8)
+
+    # ---- stage 2 step (RotBbox cadence, amortized) -------------------------
+    s = coaches.CoachSettings(mirror_rot_lambda=0.0)  # BoxCX needs landmarks
+    ws_pivot = jnp.zeros((1, generator.num_ws, generator.w_dim))
+    face_mask = jnp.ones((1, 1, 512, 512), jnp.float32)
+
+    from spi_tpu.criteria.l2_loss import l2_loss
+    from spi_tpu.utils import camera as cam
+    from spi_tpu.utils import rotate as rot
+
+    mask = trainable_mask(g_params)
+    opt2 = optax.adam(s.learning_rate)
+
+    def s2_loss(p, step, rng, target):
+        k_recon, k_rot, k_depth, k_r1, k_r2 = jax.random.split(rng, 5)
+        out = generator.synthesis(p, k_recon, ws_pivot, camera, noise_mode="const")
+        loss = l2_loss(out["image"], target) + lpips(lpips_params, out["image"], target)
+
+        def regs():
+            cams = cam.sample_surrounding_camera(k_rot, camera, batch_size=s.rot_bs,
+                                                 yaw_range=0.2, pitch_range=0.1)
+            ws_r = jnp.tile(ws_pivot, (s.rot_bs, 1, 1))
+            out_r = generator.synthesis(p, k_r1, ws_r, cams, noise_mode="const")
+            warp_img, warp_mask = jax.lax.stop_gradient(rot.rotate(
+                target_camera=cams, target_depth=out_r["image_depth"],
+                src_image=jnp.tile(target, (s.rot_bs, 1, 1, 1)),
+                src_camera=jnp.tile(camera, (s.rot_bs, 1)),
+                src_depth=jnp.tile(out["image_depth"], (s.rot_bs, 1, 1, 1)),
+                src_mask=jnp.tile(face_mask, (s.rot_bs, 1, 1, 1)),
+                depth_resolution=generator.neural_rendering_resolution,
+            ))
+            total = lpips(lpips_params, out_r["image"] * warp_mask, warp_img) * 0.1 * s.rot_bs
+            cams_d = cam.sample_camera(k_depth, batch_size=4, yaw_range=0.7, pitch_range=0.4)
+            ws_d = jnp.tile(ws_pivot, (4, 1, 1))
+            depth = generator.synthesis(p, k_r2, ws_d, cams_d, noise_mode="const")["image_depth"]
+            stable = jax.lax.stop_gradient(
+                generator.synthesis(g_params, k_r2, ws_d, cams_d, noise_mode="const")["image_depth"]
+            )
+            return total + l2_loss(stable, depth)
+
+        loss = loss + jax.lax.cond(step % s.rot_bs == 0, regs, lambda: 0.0)
+        return loss
+
+    s2_carry = (g_params, opt2.init(g_params))
+
+    def s2_step(carry, step, target):
+        p, opt_state = carry
+        rng = jax.random.fold_in(jax.random.PRNGKey(9), step)
+        grads = jax.grad(s2_loss)(p, step, rng, target)
+        updates, opt_state = opt2.update(grads, opt_state, p)
+        updates = jax.tree_util.tree_map(
+            lambda m, u: u if m else jnp.zeros_like(u), mask, updates,
+            is_leaf=lambda v: isinstance(v, bool),
+        )
+        import optax as _optax
+
+        return (_optax.apply_updates(p, updates), opt_state), None
+
+    t_stage2 = time_scan_steps(s2_step, s2_carry, target, n_steps=8)
+
+    per_image_s = 500 * t_stage1 + 1000 * t_stage2
+    target_s = 120.0
+    result = {
+        "metric": "per-image inversion wall-clock (500 sg + 1000 RotBbox steps)",
+        "value": round(per_image_s, 2),
+        "unit": "s",
+        "vs_baseline": round(target_s / per_image_s, 3),
+        "detail": {
+            "stage1_s_per_step": round(t_stage1, 4),
+            "stage2_s_per_step": round(t_stage2, 4),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
