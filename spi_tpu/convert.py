@@ -205,6 +205,34 @@ def convert_torchvision_vgg(arch: str, dst: str, weights_path: str | None = None
     return out
 
 
+def convert_clip(src: str, dst: str):
+    """OpenAI CLIP release checkpoints (ViT-B-32.pt / ViT-B-16.pt /
+    RN50.pt) are torchscript archives with fp16 weights
+    (ZSSGAN/criteria/clip_loss.py:32-35 PATH_DICT). The state_dict keys
+    match the spi_tpu CLIP pytree after dot-nesting
+    (spi_tpu.utils.checkpoint.unflatten_to_nested)."""
+    import torch
+
+    try:
+        model = torch.jit.load(src, map_location="cpu")
+        sd = model.state_dict()
+    except RuntimeError:
+        sd = torch.load(src, map_location="cpu")
+        if hasattr(sd, "state_dict"):
+            sd = sd.state_dict()
+    out = {}
+    for name, tensor in sd.items():
+        if name.endswith(_SKIP_SUFFIXES) or "attn_mask" in name:
+            continue
+        # torchscript archives carry extra JIT buffers; keep weights only
+        if name in ("input_resolution", "context_length", "vocab_size"):
+            continue
+        out[name] = tensor.detach().float().cpu().numpy()
+    np.savez(dst, **out)
+    print(f"wrote {len(out)} arrays to {dst}")
+    return out
+
+
 def main(argv=None):
     argv = argv or sys.argv[1:]
     kind, src, dst = argv[0], argv[1], argv[2]
@@ -212,6 +240,8 @@ def main(argv=None):
         convert_eg3d(src, dst)
     elif kind in ("vgg16", "vgg19"):
         convert_torchvision_vgg(kind, dst, weights_path=src if src != "-" else None)
+    elif kind == "clip":
+        convert_clip(src, dst)
     else:
         convert_state_dict(src, dst)
 

@@ -32,3 +32,19 @@ def tensor2depth(x) -> Image.Image:
 def save_image(x, path: str, vmin=-1.0, vmax=1.0):
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tensor2im(x, vmin=vmin, vmax=vmax).save(path)
+
+
+def save_image_grid(batch, path: str, grid_rows: int | None = None,
+                    vmin=-1.0, vmax=1.0):
+    """(N, 3, H, W) in [vmin, vmax] -> one tiled jpg
+    (ZSSGAN/utils/file_utils.py save_images; rows = sqrt(N) as in
+    ZSSGAN/train.py:93)."""
+    arr = np.asarray(batch)
+    n, c, h, w = arr.shape
+    rows = grid_rows or max(1, int(n ** 0.5))
+    cols = (n + rows - 1) // rows
+    canvas = np.full((c, rows * h, cols * w), vmin, arr.dtype)
+    for i in range(n):
+        r, col = divmod(i, cols)
+        canvas[:, r * h:(r + 1) * h, col * w:(col + 1) * w] = arr[i]
+    save_image(canvas, path, vmin=vmin, vmax=vmax)
