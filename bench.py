@@ -25,18 +25,20 @@ import jax
 import jax.numpy as jnp
 
 
-def time_scan_steps(step_fn, carry, target, n_steps: int):
-    """Compile + run a scanned loop of step_fn(carry, step, target),
-    return seconds/step. `target` is a jit ARGUMENT (a closure capture
-    would be constant-folded through the perception nets at compile
-    time)."""
+def time_scan_steps(step_fn, carry, consts, n_steps: int):
+    """Compile + run a scanned loop of step_fn(carry, step, consts),
+    return seconds/step. `consts` (target image, perception/frozen
+    params, ...) is a jit ARGUMENT pytree — closure-captured arrays
+    would be embedded as XLA constants, ballooning the emitted MLIR by
+    ~8 text bytes per weight (the full VGG16 alone is >100 MB) and
+    OOMing the compile."""
     scan_n = jax.jit(
-        lambda c, t: jax.lax.scan(lambda cc, s: step_fn(cc, s, t), c, jnp.arange(n_steps))[0]
+        lambda c, k: jax.lax.scan(lambda cc, s: step_fn(cc, s, k), c, jnp.arange(n_steps))[0]
     )
-    out = scan_n(carry, target)
+    out = scan_n(carry, consts)
     jax.block_until_ready(out)  # compile + first run
     t0 = time.time()
-    out = scan_n(carry, target)
+    out = scan_n(carry, consts)
     jax.block_until_ready(out)
     return (time.time() - t0) / n_steps
 
@@ -72,25 +74,26 @@ def main():
 
     from spi_tpu.ops import resize_area
 
-    def s1_loss(p, rng, target):
-        g = replace_noise(g_params, p["noise"])
+    def s1_loss(p, rng, consts):
+        g = replace_noise(consts["g"], p["noise"])
         ws = jnp.tile(p["w"], (1, generator.num_ws, 1))
         img = generator.synthesis(g, rng, ws, camera, noise_mode="const")["image"]
         x = resize_area(img, (256, 256))
-        y = resize_area(target, (256, 256))
-        dist = vgg_feature_distance(lpips, lpips_params, x, y)
+        y = resize_area(consts["target"], (256, 256))
+        dist = vgg_feature_distance(lpips, consts["lpips"], x, y)
         return dist + noise_regularization(p["noise"]) * settings.regularize_noise_weight
 
-    def s1_step(carry, step, target):
+    def s1_step(carry, step, consts):
         p, opt_state = carry
         rng = jax.random.fold_in(jax.random.PRNGKey(7), step)
-        grads = jax.grad(s1_loss)(p, rng, target)
+        grads = jax.grad(s1_loss)(p, rng, consts)
         updates, opt_state = opt1.update(grads, opt_state)
         p = jax.tree_util.tree_map(lambda a, u: a - 5e-3 * u, p, updates)
         p = {"w": p["w"], "noise": normalize_noise(p["noise"])}
         return (p, opt_state), None
 
-    t_stage1 = time_scan_steps(s1_step, s1_carry, target, n_steps=8)
+    s1_consts = {"g": g_params, "lpips": lpips_params, "target": target}
+    t_stage1 = time_scan_steps(s1_step, s1_carry, s1_consts, n_steps=8)
 
     # ---- stage 2 step (RotBbox cadence, amortized) -------------------------
     s = coaches.CoachSettings(mirror_rot_lambda=0.0)  # BoxCX needs landmarks
@@ -104,10 +107,11 @@ def main():
     mask = trainable_mask(g_params)
     opt2 = optax.adam(s.learning_rate)
 
-    def s2_loss(p, step, rng, target):
+    def s2_loss(p, step, rng, consts):
+        target = consts["target"]
         k_recon, k_rot, k_depth, k_r1, k_r2 = jax.random.split(rng, 5)
         out = generator.synthesis(p, k_recon, ws_pivot, camera, noise_mode="const")
-        loss = l2_loss(out["image"], target) + lpips(lpips_params, out["image"], target)
+        loss = l2_loss(out["image"], target) + lpips(consts["lpips"], out["image"], target)
 
         def regs():
             cams = cam.sample_surrounding_camera(k_rot, camera, batch_size=s.rot_bs,
@@ -122,12 +126,13 @@ def main():
                 src_mask=jnp.tile(face_mask, (s.rot_bs, 1, 1, 1)),
                 depth_resolution=generator.neural_rendering_resolution,
             ))
-            total = lpips(lpips_params, out_r["image"] * warp_mask, warp_img) * 0.1 * s.rot_bs
+            total = lpips(consts["lpips"], out_r["image"] * warp_mask, warp_img) * 0.1 * s.rot_bs
             cams_d = cam.sample_camera(k_depth, batch_size=4, yaw_range=0.7, pitch_range=0.4)
             ws_d = jnp.tile(ws_pivot, (4, 1, 1))
             depth = generator.synthesis(p, k_r2, ws_d, cams_d, noise_mode="const")["image_depth"]
             stable = jax.lax.stop_gradient(
-                generator.synthesis(g_params, k_r2, ws_d, cams_d, noise_mode="const")["image_depth"]
+                generator.synthesis(consts["g_frozen"], k_r2, ws_d, cams_d,
+                                    noise_mode="const")["image_depth"]
             )
             return total + l2_loss(stable, depth)
 
@@ -136,10 +141,10 @@ def main():
 
     s2_carry = (g_params, opt2.init(g_params))
 
-    def s2_step(carry, step, target):
+    def s2_step(carry, step, consts):
         p, opt_state = carry
         rng = jax.random.fold_in(jax.random.PRNGKey(9), step)
-        grads = jax.grad(s2_loss)(p, step, rng, target)
+        grads = jax.grad(s2_loss)(p, step, rng, consts)
         updates, opt_state = opt2.update(grads, opt_state, p)
         updates = jax.tree_util.tree_map(
             lambda m, u: u if m else jnp.zeros_like(u), mask, updates,
@@ -149,7 +154,8 @@ def main():
 
         return (_optax.apply_updates(p, updates), opt_state), None
 
-    t_stage2 = time_scan_steps(s2_step, s2_carry, target, n_steps=8)
+    s2_consts = {"g_frozen": g_params, "lpips": lpips_params, "target": target}
+    t_stage2 = time_scan_steps(s2_step, s2_carry, s2_consts, n_steps=8)
 
     per_image_s = 500 * t_stage1 + 1000 * t_stage2
     target_s = 120.0

@@ -89,6 +89,14 @@ class TriPlaneGenerator:
     c_scale: float = 1.0
     channel_base: int = 32768
     channel_max: int = 512
+    # Rematerialize the volume-render core in the backward pass. The
+    # renderer's per-sample tensors (rays x 96 samples x 32 features +
+    # MLP hiddens + bilinear corner gathers) dominate activation memory
+    # (~2 GB per differentiated synthesis at 128^2); storing them for a
+    # multi-camera SPI step overflows a 16 GB v5e HBM. checkpointing
+    # keeps only (planes, ray outputs) live and recomputes the render
+    # inside the backward at ~1.3x step FLOPs.
+    remat_renderer: bool = True
 
     # -- submodules -------------------------------------------------------
     @property
@@ -191,11 +199,18 @@ class TriPlaneGenerator:
             rng=rng_noise if noise_mode == "random" else None,
         )
 
-        def decode(feats, dirs):
-            return self.decoder(params["decoder"], feats, dirs)
+        def render(decoder_params, planes, ray_origins, ray_directions):
+            def decode(feats, dirs):
+                return self.decoder(decoder_params, feats, dirs)
 
-        feature_samples, depth_samples, _ = self.renderer(
-            rng_render, planes, decode, ray_origins, ray_directions
+            return self.renderer(
+                rng_render, planes, decode, ray_origins, ray_directions
+            )
+
+        if self.remat_renderer:
+            render = jax.checkpoint(render)
+        feature_samples, depth_samples, _ = render(
+            params["decoder"], planes, ray_origins, ray_directions
         )
 
         n = ws.shape[0]
