@@ -38,6 +38,10 @@ class LPIPS:
     """params = {'net': vgg features pytree, 'lin': [(C_l,) weights]}."""
 
     max_size: int = 256
+    # Rematerialize the VGG feature stack in the backward: its conv
+    # activations (~0.4 GB per 256^2 image pair) otherwise stay live
+    # across every loss term of a multi-camera SPI step.
+    remat: bool = True
 
     @property
     def net(self) -> VGGFeatures:
@@ -60,8 +64,14 @@ class LPIPS:
         if x.shape[-1] > self.max_size:
             x = resize_bilinear(x, (self.max_size, self.max_size))
         x = (x - _SHIFT[None, :, None, None]) / _SCALE[None, :, None, None]
-        feats = self.net(params["net"], x)
-        return [_normalize_activation(f) for f in feats]
+
+        def run_net(net_params, x):
+            feats = self.net(net_params, x)
+            return [_normalize_activation(f) for f in feats]
+
+        if self.remat:
+            run_net = jax.checkpoint(run_net)
+        return run_net(params["net"], x)
 
     def __call__(self, params, x, y, mask=None):
         """Perceptual distance, summed over batch / batch size

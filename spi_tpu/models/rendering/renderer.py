@@ -16,15 +16,14 @@ notes:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Callable
 
 import jax
 import jax.numpy as jnp
 
 from spi_tpu.models.rendering import math_utils
-from spi_tpu.models.rendering.ray_marcher import march_rays
-from spi_tpu.ops.grid_sample import grid_sample_nhwc
+from spi_tpu.models.rendering.ray_marcher import march_rays, march_rays_unsorted
+from spi_tpu.ops.grid_sample import quad_sample_nhwc
 
 
 @dataclasses.dataclass(frozen=True)
@@ -42,6 +41,12 @@ class RenderingOptions:
     clamp_mode: str = "softplus"
     # density_noise is only used in GAN training (renderer.py:146-147)
     density_noise: float = 0.0
+    # Rays per sequential chunk. Rays are independent, so chunking is
+    # exact; each chunk is checkpointed, bounding activation HBM to one
+    # chunk's gathers/MLP hiddens (the full 16384-ray x 96-sample pass
+    # peaks at multiple 1.5 GB corner-gather tensors otherwise). None =
+    # single pass.
+    ray_chunk: int | None = 4096
 
 
 def project_onto_planes(coordinates):
@@ -74,11 +79,13 @@ def sample_from_planes(plane_features_nhwc, coordinates, box_warp: float):
     assert h * w == hw
     coords = coordinates * (2.0 / box_warp)
     grids = project_onto_planes(coords)  # (N, 3, M, 2)
-    m = grids.shape[2]
-    flat_tables = plane_features_nhwc.reshape(n * n_planes, hw, c)
-    flat_grids = grids.reshape(n * n_planes, m, 2)
-    out = grid_sample_nhwc(flat_tables, flat_grids, h, w)
-    return out.reshape(n, n_planes, m, c)
+    # One quad-row take per plane (static Python loop: per-plane 2D
+    # tables gather measurably faster than one batched 3-plane gather).
+    outs = [
+        quad_sample_nhwc(plane_features_nhwc[:, p], grids[:, p], h, w)
+        for p in range(n_planes)
+    ]
+    return jnp.stack(outs, axis=1)
 
 
 def sample_stratified(rng, ray_origins, ray_start, ray_end, depth_resolution: int,
@@ -128,7 +135,12 @@ def sample_pdf(rng, bins, weights, n_importance: int, det: bool = False, eps: fl
     else:
         u = jax.random.uniform(rng, (r, n_importance))
 
-    inds = jax.vmap(partial(jnp.searchsorted, side="right"))(cdf, u)
+    # searchsorted(side='right') == #{j : cdf[j] <= u}; a broadcast
+    # compare+sum over the ~48 bins vectorizes on the VPU, where a
+    # vmapped binary search lowers to per-row while loops.
+    inds = jnp.sum(
+        (cdf[:, None, :] <= u[:, :, None]).astype(jnp.int32), axis=-1
+    )
     below = jnp.maximum(inds - 1, 0)
     above = jnp.minimum(inds, n_bins_w)
 
@@ -190,6 +202,32 @@ class ImportanceRenderer:
     options: RenderingOptions
 
     def __call__(self, rng, planes_nhwc, decoder: Callable, ray_origins, ray_directions):
+        """Renders (N, M, 3) rays; chunks the ray axis when
+        options.ray_chunk divides M (exact — rays are independent)."""
+        chunk = self.options.ray_chunk
+        n, m, _ = ray_origins.shape
+        if chunk is None or m <= chunk or m % chunk != 0:
+            return self._render_rays(rng, planes_nhwc, decoder, ray_origins, ray_directions)
+
+        nchunks = m // chunk
+        ro = ray_origins.reshape(n, nchunks, chunk, 3).transpose(1, 0, 2, 3)
+        rd = ray_directions.reshape(n, nchunks, chunk, 3).transpose(1, 0, 2, 3)
+
+        @jax.checkpoint
+        def body(args):
+            idx, ro_c, rd_c = args
+            return self._render_rays(
+                jax.random.fold_in(rng, idx), planes_nhwc, decoder, ro_c, rd_c
+            )
+
+        rgb, depth, wsum = jax.lax.map(body, (jnp.arange(nchunks), ro, rd))
+        # (nchunks, N, chunk, C) -> (N, M, C)
+        def merge(x):
+            return x.transpose(1, 0, 2, 3).reshape(n, m, x.shape[-1])
+
+        return merge(rgb), merge(depth), merge(wsum)
+
+    def _render_rays(self, rng, planes_nhwc, decoder: Callable, ray_origins, ray_directions):
         opts = self.options
         rng_coarse, rng_fine, rng_noise = jax.random.split(rng, 3)
 
@@ -244,12 +282,14 @@ class ImportanceRenderer:
             depths_fine = sample_importance(rng_fine, depths_coarse, weights, n_imp)
             colors_fine, densities_fine = run(depths_fine)
 
-            all_depths, all_colors, all_densities = unify_samples(
-                depths_coarse, colors_coarse, densities_coarse,
-                depths_fine, colors_fine, densities_fine,
-            )
-            rgb_final, depth_final, weights = march_rays(
-                all_colors, all_densities, all_depths, white_back=opts.white_back
+            # coarse+fine union composited without a feature-payload
+            # sort (march_rays_unsorted docstring; replaces the
+            # unify_samples sort-merge of renderer.py:157-167)
+            rgb_final, depth_final, weights = march_rays_unsorted(
+                jnp.concatenate([colors_coarse, colors_fine], axis=-2),
+                jnp.concatenate([densities_coarse, densities_fine], axis=-2),
+                jnp.concatenate([depths_coarse, depths_fine], axis=-2),
+                white_back=opts.white_back,
             )
         else:
             rgb_final, depth_final, weights = march_rays(

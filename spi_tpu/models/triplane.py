@@ -97,6 +97,10 @@ class TriPlaneGenerator:
     # keeps only (planes, ray outputs) live and recomputes the render
     # inside the backward at ~1.3x step FLOPs.
     remat_renderer: bool = True
+    # Same for the superresolution CNN: its 512^2 x 128-channel conv
+    # activations are ~0.5 GB per image; checkpointing keeps only its
+    # (raw render, ws) inputs alive across the multi-camera loss terms.
+    remat_sr: bool = True
 
     # -- submodules -------------------------------------------------------
     @property
@@ -220,14 +224,17 @@ class TriPlaneGenerator:
         depth_image = jnp.transpose(depth_samples, (0, 2, 1)).reshape(n, 1, res, res)
 
         rgb_image = feature_image[:, :3]
-        sr_image = self.superresolution(
-            params["superresolution"],
-            rgb_image,
-            feature_image,
-            ws,
-            noise_mode=self.sr_noise_mode,
-            rng=rng_sr if self.sr_noise_mode == "random" else None,
-        )
+
+        def run_sr(sr_params, rgb, feat, ws):
+            return self.superresolution(
+                sr_params, rgb, feat, ws,
+                noise_mode=self.sr_noise_mode,
+                rng=rng_sr if self.sr_noise_mode == "random" else None,
+            )
+
+        if self.remat_sr:
+            run_sr = jax.checkpoint(run_sr)
+        sr_image = run_sr(params["superresolution"], rgb_image, feature_image, ws)
         return {"image": sr_image, "image_raw": rgb_image, "image_depth": depth_image}
 
     def sample_mixed(self, params: Params, ws, coordinates, directions, noise_mode="const"):

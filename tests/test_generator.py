@@ -239,3 +239,77 @@ class TestCameraUtils:
         assert cs.shape == (4, 25)
         yaws = np.asarray(cam.camera_yaw(cs))
         assert np.abs(yaws).max() < 0.35 and np.abs(yaws).std() > 0
+
+
+class TestMarchUnsorted:
+    def test_matches_sorted_march(self):
+        """march_rays_unsorted(shuffled samples) == march_rays(sorted)."""
+        import numpy as np
+
+        from spi_tpu.models.rendering.ray_marcher import (
+            march_rays,
+            march_rays_unsorted,
+        )
+
+        key = jax.random.PRNGKey(0)
+        n, m, s, c = 2, 64, 24, 8
+        depths = jnp.sort(
+            jax.random.uniform(key, (n, m, s, 1), minval=2.0, maxval=3.0), axis=2
+        )
+        colors = jax.random.uniform(jax.random.PRNGKey(1), (n, m, s, c))
+        dens = jax.random.normal(jax.random.PRNGKey(2), (n, m, s, 1))
+
+        rgb_ref, depth_ref, w_ref = march_rays(colors, dens, depths)
+
+        perm = jax.random.permutation(jax.random.PRNGKey(3), s)
+        rgb, depth, w = march_rays_unsorted(
+            colors[:, :, perm], dens[:, :, perm], depths[:, :, perm]
+        )
+        np.testing.assert_allclose(np.asarray(rgb), np.asarray(rgb_ref), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(depth), np.asarray(depth_ref), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref), atol=1e-5)
+
+    def test_white_back(self):
+        import numpy as np
+
+        from spi_tpu.models.rendering.ray_marcher import (
+            march_rays,
+            march_rays_unsorted,
+        )
+
+        depths = jnp.sort(jax.random.uniform(jax.random.PRNGKey(0), (1, 8, 12, 1)), axis=2)
+        colors = jax.random.uniform(jax.random.PRNGKey(1), (1, 8, 12, 3))
+        dens = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 12, 1))
+        a = march_rays(colors, dens, depths, white_back=True)[0]
+        b = march_rays_unsorted(colors, dens, depths, white_back=True)[0]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+class TestQuadSample:
+    def test_matches_grid_sample_nhwc(self):
+        import numpy as np
+
+        from spi_tpu.ops.grid_sample import grid_sample_nhwc, quad_sample_nhwc
+
+        h = w = 16
+        c = 8
+        table = jax.random.normal(jax.random.PRNGKey(0), (2, h * w, c))
+        # include out-of-bounds coords to exercise zeros padding
+        coords = jax.random.uniform(
+            jax.random.PRNGKey(1), (2, 100, 2), minval=-1.3, maxval=1.3
+        )
+        a = grid_sample_nhwc(table, coords, h, w)
+        b = quad_sample_nhwc(table, coords, h, w)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    def test_gradients_match(self):
+        import numpy as np
+
+        from spi_tpu.ops.grid_sample import grid_sample_nhwc, quad_sample_nhwc
+
+        h = w = 8
+        table = jax.random.normal(jax.random.PRNGKey(0), (1, h * w, 4))
+        coords = jax.random.uniform(jax.random.PRNGKey(1), (1, 50, 2), minval=-1, maxval=1)
+        g1 = jax.grad(lambda t: jnp.sum(jnp.sin(grid_sample_nhwc(t, coords, h, w))))(table)
+        g2 = jax.grad(lambda t: jnp.sum(jnp.sin(quad_sample_nhwc(t, coords, h, w))))(table)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
