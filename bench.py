@@ -54,7 +54,7 @@ def main():
     from spi_tpu.utils.camera import canonical_camera
     from spi_tpu.utils.params import extract_noise, replace_noise, trainable_mask
 
-    generator = ffhq512_128_config()
+    generator = ffhq512_128_config(compute_dtype="bfloat16")
     key = jax.random.PRNGKey(0)
     kg, kl, kt = jax.random.split(key, 3)
     g_params = generator.init(kg)

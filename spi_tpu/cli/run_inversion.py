@@ -51,6 +51,9 @@ def parse_args(argv=None):
     parser.add_argument("--select_range", type=int, default=None)
     parser.add_argument("--filter_index", type=str, default=None, help="1,2,3")
     parser.add_argument("--save_video", action="store_true", default=False)
+    parser.add_argument("--fp32", action="store_true", default=False,
+                        help="disable the bfloat16 compute path (slower, "
+                             "reference-exact numerics)")
     return parser.parse_args(argv)
 
 
@@ -63,7 +66,9 @@ def main(argv=None):
     from spi_tpu.models.triplane import ffhq512_128_config
     from spi_tpu.training.pipeline import InversionPipeline, PipelineConfig
 
-    generator = ffhq512_128_config()
+    generator = ffhq512_128_config(
+        compute_dtype="float32" if args.fp32 else "bfloat16"
+    )
     if args.random_init:
         g_params = generator.init(jax.random.PRNGKey(0))
         perception = None

@@ -3,14 +3,20 @@
 Spec: eg3d/training/volumetric_rendering/renderer.py. TPU redesign
 notes:
 
-- Static shapes throughout: rays x samples tensors; the coarse+fine
-  merge is a fixed-width concat + `jnp.sort`, jit-friendly.
-- Triplane lookup keeps features channels-last so the bilinear gather
-  pulls contiguous 32-vectors (spi_tpu.ops.grid_sample_nhwc).
+- Static shapes throughout: rays x samples tensors, jit-friendly.
+- Triplane lookup keeps features channels-last and gathers the whole
+  2x2 bilinear footprint with ONE take per plane
+  (spi_tpu.ops.grid_sample.quad_sample_nhwc — TPU gathers are
+  latency-bound per index).
+- The coarse+fine union is composited WITHOUT sorting the feature
+  payload (ray_marcher.march_rays_unsorted).
 - The plane projection (renderer.py:23-53) is three fixed axis picks —
   (x,y), (x,z), (z,x) — rather than a batched matrix inverse.
-- Importance sampling (renderer.py:194-253) runs under stop_gradient,
-  with searchsorted vmapped across rays.
+- Importance sampling (renderer.py:194-253) runs under stop_gradient;
+  the inverse-CDF bracketing uses masked reductions over the bins, not
+  searchsorted+gather (see sample_pdf).
+- Rays are processed in checkpointed chunks (RenderingOptions.ray_chunk)
+  to bound activation HBM during multi-camera backward passes.
 """
 
 from __future__ import annotations
@@ -135,19 +141,32 @@ def sample_pdf(rng, bins, weights, n_importance: int, det: bool = False, eps: fl
     else:
         u = jax.random.uniform(rng, (r, n_importance))
 
-    # searchsorted(side='right') == #{j : cdf[j] <= u}; a broadcast
-    # compare+sum over the ~48 bins vectorizes on the VPU, where a
-    # vmapped binary search lowers to per-row while loops.
-    inds = jnp.sum(
-        (cdf[:, None, :] <= u[:, :, None]).astype(jnp.int32), axis=-1
+    # The reference gathers cdf/bins at searchsorted indices
+    # (renderer.py:237-243). On TPU both the binary search and the four
+    # take_along_axis row gathers are latency-bound (~5 ms each at 786k
+    # indices). Both cdf and bins are MONOTONIC, so the bracketing
+    # values are masked reductions over the ~48 bins instead:
+    #   cdf_g0  = max{cdf[j]  : cdf[j] <= u}      (largest cdf <= u)
+    #   cdf_g1  = min{cdf[j]  : cdf[j] >  u}      (smallest cdf > u)
+    # and the same j ranges pick bins_g0/bins_g1. One broadcast compare
+    # + four masked reductions, all VPU-vectorized.
+    nb = n_bins_w + 1  # cdf entries; bins[j] pairs with cdf[j], j < nb
+    bins_nb = bins[:, :nb]
+    mask = cdf[:, None, :] <= u[:, :, None]  # (R, I, nb)
+    neg = -jnp.inf
+    pos = jnp.inf
+    cdf_b = jnp.broadcast_to(cdf[:, None, :], mask.shape)
+    bins_b = jnp.broadcast_to(bins_nb[:, None, :], mask.shape)
+    cdf_g0 = jnp.max(jnp.where(mask, cdf_b, neg), axis=-1)
+    bins_g0 = jnp.max(jnp.where(mask, bins_b, neg), axis=-1)
+    # empty ">u" mask (u >= cdf[-1] by fp roundoff) falls back to the
+    # final entry, matching the reference's index clamp
+    cdf_g1 = jnp.minimum(
+        jnp.min(jnp.where(mask, pos, cdf_b), axis=-1), cdf[:, None, -1]
     )
-    below = jnp.maximum(inds - 1, 0)
-    above = jnp.minimum(inds, n_bins_w)
-
-    cdf_g0 = jnp.take_along_axis(cdf, below, axis=1)
-    cdf_g1 = jnp.take_along_axis(cdf, above, axis=1)
-    bins_g0 = jnp.take_along_axis(bins, below, axis=1)
-    bins_g1 = jnp.take_along_axis(bins, above, axis=1)
+    bins_g1 = jnp.minimum(
+        jnp.min(jnp.where(mask, pos, bins_b), axis=-1), bins_nb[:, None, -1]
+    )
 
     denom = cdf_g1 - cdf_g0
     denom = jnp.where(denom < eps, 1.0, denom)

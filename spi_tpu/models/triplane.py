@@ -101,6 +101,17 @@ class TriPlaneGenerator:
     # activations are ~0.5 GB per image; checkpointing keeps only its
     # (raw render, ws) inputs alive across the multi-camera loss terms.
     remat_sr: bool = True
+    # Compute dtype for the conv/gather/MLP-heavy subgraphs (backbone
+    # synthesis, plane gather + decoder, superresolution): 'bfloat16'
+    # doubles MXU throughput and halves HBM traffic on TPU. Parameters
+    # stay fp32 (master weights); casts are inserted at call time, so
+    # gradients come back fp32. Ray/camera math, the mapping network
+    # and alpha compositing always run fp32 (the transmittance cumprod
+    # and w statistics are precision-sensitive). Analog of the
+    # reference's fp16-per-resolution blocks (networks_stylegan2.py:
+    # 365-464), which inversion there disables; here bf16's range makes
+    # it safe to keep on (validated by LPIPS parity tests vs fp32).
+    compute_dtype: str = "float32"
 
     # -- submodules -------------------------------------------------------
     @property
@@ -170,9 +181,21 @@ class TriPlaneGenerator:
             truncation_cutoff=truncation_cutoff,
         )
 
+    def _cast(self, tree):
+        dt = jnp.dtype(self.compute_dtype)
+        if dt == jnp.float32:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(dt) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            tree,
+        )
+
     def _planes_nhwc(self, params: Params, ws, noise_mode="const", rng=None):
         planes = self.synthesis_net(
-            params["backbone"]["synthesis"], ws, noise_mode=noise_mode, rng=rng
+            self._cast(params["backbone"]["synthesis"]),
+            self._cast(ws),
+            noise_mode=noise_mode,
+            rng=rng,
         )  # (N, 96, H, W)
         n, c, h, w = planes.shape
         planes = planes.reshape(n, 3, self.plane_channels, h, w)
@@ -203,9 +226,16 @@ class TriPlaneGenerator:
             rng=rng_noise if noise_mode == "random" else None,
         )
 
+        dt = jnp.dtype(self.compute_dtype)
+
         def render(decoder_params, planes, ray_origins, ray_directions):
             def decode(feats, dirs):
-                return self.decoder(decoder_params, feats, dirs)
+                # MLP in compute dtype; outputs fp32 (the ray-march
+                # transmittance cumprod is precision-sensitive)
+                rgb, sigma = self.decoder(
+                    self._cast(decoder_params), feats.astype(dt), dirs
+                )
+                return rgb.astype(jnp.float32), sigma.astype(jnp.float32)
 
             return self.renderer(
                 rng_render, planes, decode, ray_origins, ray_directions
@@ -226,11 +256,15 @@ class TriPlaneGenerator:
         rgb_image = feature_image[:, :3]
 
         def run_sr(sr_params, rgb, feat, ws):
-            return self.superresolution(
-                sr_params, rgb, feat, ws,
+            out = self.superresolution(
+                self._cast(sr_params),
+                self._cast(rgb),
+                self._cast(feat),
+                self._cast(ws),
                 noise_mode=self.sr_noise_mode,
                 rng=rng_sr if self.sr_noise_mode == "random" else None,
             )
+            return out.astype(jnp.float32)
 
         if self.remat_sr:
             run_sr = jax.checkpoint(run_sr)
