@@ -58,7 +58,7 @@ def main():
     key = jax.random.PRNGKey(0)
     kg, kl, kt = jax.random.split(key, 3)
     g_params = generator.init(kg)
-    lpips = LPIPS()
+    lpips = LPIPS(compute_dtype="bfloat16")
     lpips_params = lpips.init(kl)
 
     target = jax.random.normal(kt, (1, 3, 512, 512), jnp.float32).clip(-1, 1)

@@ -42,6 +42,9 @@ class LPIPS:
     # activations (~0.4 GB per 256^2 image pair) otherwise stay live
     # across every loss term of a multi-camera SPI step.
     remat: bool = True
+    # bf16 conv path (fp32 master weights / unit-normalization /
+    # distance accumulation); perceptual distances tolerate it easily.
+    compute_dtype: str = "float32"
 
     @property
     def net(self) -> VGGFeatures:
@@ -65,9 +68,17 @@ class LPIPS:
             x = resize_bilinear(x, (self.max_size, self.max_size))
         x = (x - _SHIFT[None, :, None, None]) / _SCALE[None, :, None, None]
 
+        dt = jnp.dtype(self.compute_dtype)
+
         def run_net(net_params, x):
+            if dt != jnp.float32:
+                net_params = jax.tree_util.tree_map(
+                    lambda v: v.astype(dt), net_params
+                )
+                x = x.astype(dt)
             feats = self.net(net_params, x)
-            return [_normalize_activation(f) for f in feats]
+            # unit-normalize in fp32 (sum of squares over 512 channels)
+            return [_normalize_activation(f.astype(jnp.float32)) for f in feats]
 
         if self.remat:
             run_net = jax.checkpoint(run_net)

@@ -51,6 +51,10 @@ class PipelineConfig:
     description: str | None = None
     seed: int = 0
     save_video: bool = False
+    # compute dtype for the LPIPS VGG stack (the generator's own
+    # compute_dtype lives on TriPlaneGenerator); 'bfloat16' halves the
+    # perceptual-loss cost on TPU
+    lpips_compute_dtype: str = "float32"
 
     @property
     def coach_name(self) -> str:
@@ -93,7 +97,7 @@ class InversionPipeline:
         self.generator = generator
         self.g_params0 = g_params
         self.config = config
-        self.lpips = LPIPS()
+        self.lpips = LPIPS(compute_dtype=config.lpips_compute_dtype)
         self.box_cx = BoxCXLoss()
         self.metric = Metric()
 

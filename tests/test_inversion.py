@@ -223,3 +223,19 @@ class TestBoxCX:
         other = jax.random.normal(jax.random.PRNGKey(3), (1, 3, 256, 256))
         loss_diff = float(box_cx(p, img, other, lm))
         assert loss_same < loss_diff
+
+
+class TestLPIPSBf16:
+    def test_close_to_fp32(self):
+        import numpy as np
+
+        from spi_tpu.criteria.lpips import LPIPS
+
+        l32 = LPIPS()
+        lbf = LPIPS(compute_dtype="bfloat16")
+        p = l32.init(jax.random.PRNGKey(0))
+        x = jax.random.uniform(jax.random.PRNGKey(1), (1, 3, 64, 64), minval=-1, maxval=1)
+        y = jax.random.uniform(jax.random.PRNGKey(2), (1, 3, 64, 64), minval=-1, maxval=1)
+        a = float(l32(p, x, y))
+        b = float(lbf(p, x, y))
+        assert abs(a - b) / max(abs(a), 1e-6) < 0.05
