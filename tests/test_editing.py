@@ -230,3 +230,55 @@ class TestZSSGAN:
         )
         assert ranks.shape == (tr.generator.num_ws,)
         assert jnp.isfinite(ranks).all()
+
+
+class TestZSSGAN2D:
+    def test_step_masks_and_moves(self):
+        from spi_tpu.editing.zssgan2d import ZSSGAN2DTrainer, conv_mask_2d
+        from spi_tpu.models.stylegan2 import Generator
+
+        gen = Generator(z_dim=16, c_dim=0, w_dim=16, img_resolution=32,
+                        img_channels=3, channel_base=512, channel_max=32)
+        clip = tiny_test_clip()
+        loss = DirectionalCLIPLoss(clip)
+        trainer = ZSSGAN2DTrainer(
+            generator=gen, clip_losses={"tiny": loss},
+            clip_weights={"tiny": 1.0},
+            settings=EditingSettings(batch=2), mixing_prob=0.5,
+        )
+        g_params = gen.init(jax.random.PRNGKey(0))
+        clip_params = {"tiny": clip.init(jax.random.PRNGKey(1))}
+        states = trainer.build_states(clip_params, FakeTokenizer())
+        step = trainer.make_step(frozen_params=g_params)
+        opt_state = trainer.init_opt_state(g_params)
+        new_params, _, l = step(g_params, opt_state, clip_params, states,
+                                jax.random.PRNGKey(2))
+        assert jnp.isfinite(l)
+        mask = conv_mask_2d(g_params)
+        moved = frozen = 0
+        for (_, old), (_, new), (_, m) in zip(
+            jax.tree_util.tree_leaves_with_path(g_params),
+            jax.tree_util.tree_leaves_with_path(new_params),
+            jax.tree_util.tree_leaves_with_path(mask),
+        ):
+            changed = bool(jnp.any(old != new))
+            if m:
+                moved += changed
+            else:
+                assert not changed
+                frozen += 1
+        assert moved > 0 and frozen > 0
+
+    def test_mixing_shapes(self):
+        from spi_tpu.editing.zssgan2d import ZSSGAN2DTrainer
+        from spi_tpu.models.stylegan2 import Generator
+
+        gen = Generator(z_dim=8, c_dim=0, w_dim=8, img_resolution=16,
+                        img_channels=3, channel_base=256, channel_max=16)
+        clip = tiny_test_clip()
+        trainer = ZSSGAN2DTrainer(
+            generator=gen, clip_losses={}, clip_weights={}, mixing_prob=0.9,
+        )
+        p = gen.init(jax.random.PRNGKey(0))
+        ws = trainer.sample_w(p, jax.random.PRNGKey(1), 4)
+        assert ws.shape == (4, gen.num_ws, gen.w_dim)
