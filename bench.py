@@ -110,14 +110,15 @@ def main():
     def s2_loss(p, step, rng, consts):
         target = consts["target"]
         k_recon, k_rot, k_depth, k_r1, k_r2 = jax.random.split(rng, 5)
-        out = generator.synthesis(p, k_recon, ws_pivot, camera, noise_mode="const")
+        # one backbone pass serves recon + every regularizer term
+        planes = generator._planes_nhwc(p, ws_pivot)
+        out = generator.synthesis_from_planes(p, k_recon, planes, ws_pivot, camera)
         loss = l2_loss(out["image"], target) + lpips(consts["lpips"], out["image"], target)
 
         def regs():
             cams = cam.sample_surrounding_camera(k_rot, camera, batch_size=s.rot_bs,
                                                  yaw_range=0.2, pitch_range=0.1)
-            ws_r = jnp.tile(ws_pivot, (s.rot_bs, 1, 1))
-            out_r = generator.synthesis(p, k_r1, ws_r, cams, noise_mode="const")
+            out_r = generator.synthesis_from_planes(p, k_r1, planes, ws_pivot, cams)
             warp_img, warp_mask = jax.lax.stop_gradient(rot.rotate(
                 target_camera=cams, target_depth=out_r["image_depth"],
                 src_image=jnp.tile(target, (s.rot_bs, 1, 1, 1)),
@@ -128,11 +129,13 @@ def main():
             ))
             total = lpips(consts["lpips"], out_r["image"] * warp_mask, warp_img) * 0.1 * s.rot_bs
             cams_d = cam.sample_camera(k_depth, batch_size=4, yaw_range=0.7, pitch_range=0.4)
-            ws_d = jnp.tile(ws_pivot, (4, 1, 1))
-            depth = generator.synthesis(p, k_r2, ws_d, cams_d, noise_mode="const")["image_depth"]
+            depth = generator.synthesis_from_planes(
+                p, k_r2, planes, ws_pivot, cams_d, want_sr=False)["image_depth"]
+            stable_planes = generator._planes_nhwc(consts["g_frozen"], ws_pivot)
             stable = jax.lax.stop_gradient(
-                generator.synthesis(consts["g_frozen"], k_r2, ws_d, cams_d,
-                                    noise_mode="const")["image_depth"]
+                generator.synthesis_from_planes(
+                    consts["g_frozen"], k_r2, stable_planes, ws_pivot, cams_d,
+                    want_sr=False)["image_depth"]
             )
             return total + l2_loss(stable, depth)
 

@@ -214,24 +214,54 @@ class TriPlaneGenerator:
     ) -> dict[str, Any]:
         """ws: (N, num_ws, w_dim); c: (N, 25). Returns image / image_raw /
         image_depth (triplane.py:53-89)."""
-        res = neural_rendering_resolution or self.neural_rendering_resolution
-        cam2world = c[:, :16].reshape(-1, 4, 4)
-        intrinsics = c[:, 16:25].reshape(-1, 3, 3)
-
-        rng_render, rng_noise, rng_sr = jax.random.split(rng, 3)
-        ray_origins, ray_directions = sample_rays(cam2world, intrinsics, res)
-
+        rng_rest, rng_noise = jax.random.split(rng)
         planes = self._planes_nhwc(
             params, ws, noise_mode=noise_mode,
             rng=rng_noise if noise_mode == "random" else None,
         )
+        out = self.synthesis_from_planes(
+            params, rng_rest, planes, ws, c,
+            neural_rendering_resolution=neural_rendering_resolution,
+        )
+        return {
+            "image": out["image"],
+            "image_raw": out["image_raw"],
+            "image_depth": out["image_depth"],
+        }
+
+    def synthesis_from_planes(
+        self,
+        params: Params,
+        rng,
+        planes,
+        ws,
+        c,
+        neural_rendering_resolution: int | None = None,
+        want_sr: bool = True,
+    ) -> dict[str, Any]:
+        """Render camera batch `c` from PRECOMPUTED planes.
+
+        The backbone's plane synthesis depends only on ws, so multi-
+        camera loss terms that share one latent (recon + rot + depth
+        regularizers, SURVEY.md §2.7 'batched-view parallelism') can
+        compute planes once and fan out renders. `planes`: (1|N, 3,
+        HW, C); broadcast over the camera batch. `want_sr=False` skips
+        the superresolution CNN for depth-only consumers
+        (rot_bbox_cx_coach.py:133-141 uses image_depth alone).
+        """
+        res = neural_rendering_resolution or self.neural_rendering_resolution
+        n = c.shape[0]
+        cam2world = c[:, :16].reshape(-1, 4, 4)
+        intrinsics = c[:, 16:25].reshape(-1, 3, 3)
+        rng_render, rng_sr = jax.random.split(rng)
+        ray_origins, ray_directions = sample_rays(cam2world, intrinsics, res)
+        if planes.shape[0] != n:
+            planes = jnp.broadcast_to(planes, (n,) + planes.shape[1:])
 
         dt = jnp.dtype(self.compute_dtype)
 
         def render(decoder_params, planes, ray_origins, ray_directions):
             def decode(feats, dirs):
-                # MLP in compute dtype; outputs fp32 (the ray-march
-                # transmittance cumprod is precision-sensitive)
                 rgb, sigma = self.decoder(
                     self._cast(decoder_params), feats.astype(dt), dirs
                 )
@@ -246,30 +276,31 @@ class TriPlaneGenerator:
         feature_samples, depth_samples, _ = render(
             params["decoder"], planes, ray_origins, ray_directions
         )
-
-        n = ws.shape[0]
         feature_image = jnp.transpose(feature_samples, (0, 2, 1)).reshape(
             n, feature_samples.shape[-1], res, res
         )
         depth_image = jnp.transpose(depth_samples, (0, 2, 1)).reshape(n, 1, res, res)
-
         rgb_image = feature_image[:, :3]
+        out = {"image_raw": rgb_image, "image_depth": depth_image}
+        if not want_sr:
+            return out
+
+        if ws.shape[0] != n:
+            ws = jnp.broadcast_to(ws, (n,) + ws.shape[1:])
 
         def run_sr(sr_params, rgb, feat, ws):
-            out = self.superresolution(
-                self._cast(sr_params),
-                self._cast(rgb),
-                self._cast(feat),
+            res_img = self.superresolution(
+                self._cast(sr_params), self._cast(rgb), self._cast(feat),
                 self._cast(ws),
                 noise_mode=self.sr_noise_mode,
                 rng=rng_sr if self.sr_noise_mode == "random" else None,
             )
-            return out.astype(jnp.float32)
+            return res_img.astype(jnp.float32)
 
         if self.remat_sr:
             run_sr = jax.checkpoint(run_sr)
-        sr_image = run_sr(params["superresolution"], rgb_image, feature_image, ws)
-        return {"image": sr_image, "image_raw": rgb_image, "image_depth": depth_image}
+        out["image"] = run_sr(params["superresolution"], rgb_image, feature_image, ws)
+        return out
 
     def sample_mixed(self, params: Params, ws, coordinates, directions, noise_mode="const"):
         """Density probe at arbitrary points from ws (triplane.py:98-102);

@@ -110,8 +110,13 @@ def tune_generator(
         face_mask_m = jnp.flip(face_mask, axis=3) if face_mask is not None else None
         opt_state = opt.init(g_params)
 
-        def recon_loss(p, step_rng):
-            out = generator.synthesis(p, step_rng, ws, camera, noise_mode="const")
+        # The frozen generator's planes depend only on (params, ws) —
+        # both fixed through the loop — so XLA hoists this out of the
+        # while_loop (computed once per image).
+        stable_planes = generator._planes_nhwc(original_g_params, ws)
+
+        def recon_loss(p, planes, step_rng):
+            out = generator.synthesis_from_planes(p, step_rng, planes, ws, camera)
             img = out["image"]
             loss = 0.0
             if s.l2_lambda > 0:
@@ -121,7 +126,7 @@ def tune_generator(
                 loss += lp * s.lpips_lambda
             return loss, (lp, out["image_depth"])
 
-        def reg_losses(p, gen_depth, step_rng):
+        def reg_losses(p, planes, gen_depth, step_rng):
             """The every-rot_bs-steps terms (rot_bbox_cx_coach.py:87-146)."""
             k_rot, k_rotm, k_depth, k_tv, k_r1, k_r2, k_r3 = jax.random.split(step_rng, 7)
             total = 0.0
@@ -131,8 +136,7 @@ def tune_generator(
                     k_rot, camera, batch_size=s.rot_bs,
                     yaw_range=s.yaw_range, pitch_range=s.pitch_range,
                 )
-                ws_r = jnp.tile(ws, (s.rot_bs, 1, 1))
-                out = generator.synthesis(p, k_r1, ws_r, cams, noise_mode="const")
+                out = generator.synthesis_from_planes(p, k_r1, planes, ws, cams)
                 warp_img, warp_mask = jax.lax.stop_gradient(
                     rot.rotate(
                         target_camera=cams,
@@ -156,8 +160,7 @@ def tune_generator(
                     k_rotm, camera_m, batch_size=s.rot_bs,
                     yaw_range=s.yaw_range, pitch_range=s.pitch_range,
                 )
-                ws_m = jnp.tile(ws, (s.rot_bs, 1, 1))
-                out_m = generator.synthesis(p, k_r2, ws_m, cams_m, noise_mode="const")
+                out_m = generator.synthesis_from_planes(p, k_r2, planes, ws, cams_m)
                 gen_depth_m = jnp.flip(gen_depth, axis=3)
                 warp_img_m, warp_mask_m = jax.lax.stop_gradient(
                     rot.rotate(
@@ -189,13 +192,14 @@ def tune_generator(
                     k_depth, batch_size=4,
                     yaw_range=s.depth_yaw_range, pitch_range=s.depth_pitch_range,
                 )
-                ws_d = jnp.tile(ws, (4, 1, 1))
-                depth = generator.synthesis(p, k_r3, ws_d, cams_d, noise_mode="const")[
-                    "image_depth"
-                ]
+                # depth-only renders: skip the superresolution CNN
+                depth = generator.synthesis_from_planes(
+                    p, k_r3, planes, ws, cams_d, want_sr=False
+                )["image_depth"]
                 stable = jax.lax.stop_gradient(
-                    generator.synthesis(
-                        original_g_params, k_r3, ws_d, cams_d, noise_mode="const"
+                    generator.synthesis_from_planes(
+                        original_g_params, k_r3, stable_planes, ws, cams_d,
+                        want_sr=False,
                     )["image_depth"]
                 )
                 total += l2_loss(stable, depth) * s.depth_lambda
@@ -211,11 +215,13 @@ def tune_generator(
 
         def total_loss(p, step, step_rng):
             k_recon, k_reg = jax.random.split(step_rng)
-            loss, (lp, gen_depth) = recon_loss(p, k_recon)
+            # one backbone pass serves recon + every regularizer term
+            planes = generator._planes_nhwc(p, ws)
+            loss, (lp, gen_depth) = recon_loss(p, planes, k_recon)
             if has_reg:
                 loss = loss + jax.lax.cond(
                     step % s.rot_bs == 0,
-                    lambda: reg_losses(p, gen_depth, k_reg),
+                    lambda: reg_losses(p, planes, gen_depth, k_reg),
                     lambda: 0.0,
                 )
             return loss, lp
