@@ -282,3 +282,62 @@ class TestZSSGAN2D:
         p = gen.init(jax.random.PRNGKey(0))
         ws = trainer.sample_w(p, jax.random.PRNGKey(1), 4)
         assert ws.shape == (4, gen.num_ws, gen.w_dim)
+
+
+class TestStyleCLIPMapper:
+    def test_levels_mapper_shapes(self):
+        from spi_tpu.editing.styleclip_mapper import LevelsMapper
+
+        m = LevelsMapper(dim=16, num_ws=14)
+        p = m.init(jax.random.PRNGKey(0))
+        w = jax.random.normal(jax.random.PRNGKey(1), (2, 14, 16))
+        d = m(p, w)
+        assert d.shape == w.shape
+        assert jnp.isfinite(d).all()
+        m2 = LevelsMapper(dim=16, num_ws=14, use_fine=False)
+        p2 = m2.init(jax.random.PRNGKey(0))
+        d2 = m2(p2, w)
+        np.testing.assert_allclose(np.asarray(d2[:, 8:]), 0.0)
+
+    def test_coach_step_improves_nothing_blows_up(self):
+        from spi_tpu.editing.styleclip_mapper import (
+            LevelsMapper,
+            StyleCLIPCoach,
+            StyleCLIPSettings,
+        )
+
+        clip = tiny_test_clip()
+        clip_params = clip.init(jax.random.PRNGKey(0))
+        tok = jnp.asarray(FakeTokenizer().tokenize(["a sketch"]))
+
+        mapper = LevelsMapper(dim=16, num_ws=4)
+        coach = StyleCLIPCoach(mapper, StyleCLIPSettings(batch=1, id_lambda=0.0))
+        m_params = mapper.init(jax.random.PRNGKey(1))
+
+        def render(g_params, rng, ws):
+            # toy "generator": broadcast w into an image
+            return jnp.tanh(
+                jnp.mean(ws) + jax.random.normal(rng, (ws.shape[0], 3, 32, 32)) * 0.01
+            )
+
+        def clip_global(cp, img, tokens):
+            from spi_tpu.models.perception.clip import preprocess_gan_output
+
+            x = preprocess_gan_output(img, clip.image_resolution)
+            logits, _ = clip(cp, x, tokens)
+            return jnp.mean(1.0 - logits / 100.0)
+
+        step = coach.make_step(render, clip_global)
+        opt_state = coach.optimizer().init(m_params)
+        ws = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 16))
+        m2, opt_state, loss = step(
+            m_params, opt_state, None, clip_params, tok, None, ws,
+            jax.random.PRNGKey(3),
+        )
+        assert jnp.isfinite(loss)
+        moved = any(
+            bool(jnp.any(a != b))
+            for a, b in zip(jax.tree_util.tree_leaves(m_params),
+                            jax.tree_util.tree_leaves(m2))
+        )
+        assert moved
