@@ -80,7 +80,19 @@ def sample_from_planes(plane_features_nhwc, coordinates, box_warp: float):
     Returns:
       (N, 3, M, C) per-plane features. (renderer.py:55-65)
     """
-    n, n_planes, hw, c = plane_features_nhwc.shape
+    n_tab, n_planes, hw, c = plane_features_nhwc.shape
+    n, m, _ = coordinates.shape
+    if n_tab == 1 and n > 1:
+        # Shared planes across a camera batch (synthesis_from_planes):
+        # merge the batch into the POINT axis so each plane is ONE 2D
+        # gather from one table — XLA's batched gather over broadcast
+        # tables costs ~1.4x per index (and the backward scatter
+        # similarly), measured 5.6x total on a batch-4 render backward.
+        out = sample_from_planes(
+            plane_features_nhwc, coordinates.reshape(1, n * m, 3), box_warp
+        )  # (1, 3, N*M, C)
+        return jnp.transpose(out[0].reshape(n_planes, n, m, c), (1, 0, 2, 3))
+    assert n_tab == n, (n_tab, n)
     h = w = int(round(hw**0.5))
     assert h * w == hw
     coords = coordinates * (2.0 / box_warp)

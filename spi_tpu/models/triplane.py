@@ -255,8 +255,9 @@ class TriPlaneGenerator:
         intrinsics = c[:, 16:25].reshape(-1, 3, 3)
         rng_render, rng_sr = jax.random.split(rng)
         ray_origins, ray_directions = sample_rays(cam2world, intrinsics, res)
-        if planes.shape[0] != n:
-            planes = jnp.broadcast_to(planes, (n,) + planes.shape[1:])
+        # planes with batch 1 stay UNbroadcast: the renderer merges the
+        # camera batch into the point axis so the plane gather hits one
+        # shared table (see sample_from_planes).
 
         dt = jnp.dtype(self.compute_dtype)
 

@@ -378,3 +378,38 @@ class TestBF16Compute:
         leaves = jax.tree_util.tree_leaves(g)
         assert all(l.dtype == jnp.float32 for l in leaves)
         assert all(bool(jnp.isfinite(l).all()) for l in leaves)
+
+
+class TestSharedPlanesBatch:
+    def test_matches_per_camera_synthesis(self):
+        import numpy as np
+
+        g = small_config()
+        p = g.init(jax.random.PRNGKey(0))
+        ws = jax.random.normal(jax.random.PRNGKey(1), (1, g.num_ws, g.w_dim)) * 0.3
+        cams = cam.canonical_camera(batch_size=3)
+        cams = cams.at[1, 3].add(0.01).at[2, 7].add(-0.01)
+
+        planes = g._planes_nhwc(p, ws)
+        rng = jax.random.PRNGKey(2)
+        out_b = g.synthesis_from_planes(p, rng, planes, ws, cams)
+
+        ws3 = jnp.tile(ws, (3, 1, 1))
+        planes3 = g._planes_nhwc(p, ws3)
+        out_ref = g.synthesis_from_planes(p, rng, planes3, ws3, cams)
+        for k in ("image", "image_raw", "image_depth"):
+            np.testing.assert_allclose(
+                np.asarray(out_b[k]), np.asarray(out_ref[k]), atol=2e-4,
+                err_msg=k,
+            )
+
+    def test_want_sr_false(self):
+        g = small_config()
+        p = g.init(jax.random.PRNGKey(0))
+        ws = jnp.zeros((1, g.num_ws, g.w_dim))
+        cams = cam.canonical_camera(batch_size=2)
+        planes = g._planes_nhwc(p, ws)
+        out = g.synthesis_from_planes(p, jax.random.PRNGKey(1), planes, ws, cams,
+                                      want_sr=False)
+        assert "image" not in out
+        assert out["image_depth"].shape[0] == 2
