@@ -127,6 +127,61 @@ class PTIDataset:
             yield self[i]
 
 
+class PTIDatasetM(PTIDataset):
+    """Paired mirror samples (spi/data/images_dataset.py:229-320
+    PTIDataset_M): each identity yields the original AND its
+    horizontally flipped twin `<target>_m` (image, camera, mask,
+    landmarks written by the preprocess `--mirror` flag). Falls back to
+    flipping on the fly when the `_m` artifacts are absent."""
+
+    def __len__(self) -> int:
+        return 2 * len(self.source_paths)
+
+    def __getitem__(self, index: int) -> InversionSample:
+        base = index // 2
+        mirrored = index % 2 == 1
+        if not mirrored:
+            return super().__getitem__(base)
+
+        path = self.source_paths[base]
+        name = os.path.basename(os.path.dirname(path))
+        fname = f"{self.target_name}_m"
+
+        img_path = os.path.join(path, f"{fname}.{self.mode}")
+        c_path = os.path.join(self.c_root, name, fname + ".npy")
+        if os.path.exists(img_path) and os.path.exists(c_path):
+            image = load_image(img_path)
+            camera = np.load(c_path).astype(np.float32).reshape(1, 25)
+        else:
+            sample = super().__getitem__(base)
+            image = sample.image[:, :, :, ::-1].copy()
+            from spi_tpu.preprocess.camera_math import mirror_label
+
+            camera = mirror_label(sample.camera.reshape(25)).reshape(1, 25)
+
+        mask = None
+        if self.mask_root is not None:
+            mask = _load_mask(os.path.join(self.mask_root, name, fname))
+            if mask is None:
+                mask = _load_mask(os.path.join(self.mask_root, name, self.target_name))
+                mask = mask[:, :, :, ::-1].copy() if mask is not None else None
+
+        lm = None
+        if self.lm_root is not None:
+            for cand, flip in ((fname, False), (self.target_name, True)):
+                lm_path = os.path.join(self.lm_root, name, cand + ".npy")
+                if os.path.exists(lm_path):
+                    lm = np.load(lm_path).astype(np.float32).reshape(1, -1, 2)
+                    if flip:
+                        lm = lm.copy()
+                        lm[..., 0] = 256.0 - lm[..., 0]  # landmarks live at 256 scale
+                    break
+
+        return InversionSample(
+            name=f"{name}_m", image=image, camera=camera, mask=mask, landmarks=lm
+        )
+
+
 FACE_ATTRIBUTES = (1, 2, 3, 4, 5, 6, 7, 8, 10, 11, 12, 13)
 
 

@@ -51,8 +51,11 @@ def render_orbit_frames(generator, g_params, w, num_frames: int = 60,
 
 
 def render_orbit_video(generator, g_params, w, path: str, num_frames: int = 60,
-                       fps: int = 30):
-    frames = render_orbit_frames(generator, g_params, w, num_frames=num_frames)
+                       fps: int = 30, yaw_amplitude: float = 0.5,
+                       pitch_amplitude: float = 0.15):
+    frames = render_orbit_frames(generator, g_params, w, num_frames=num_frames,
+                                 yaw_amplitude=yaw_amplitude,
+                                 pitch_amplitude=pitch_amplitude)
     try:
         import imageio.v2 as imageio
 

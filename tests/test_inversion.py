@@ -239,3 +239,36 @@ class TestLPIPSBf16:
         a = float(l32(p, x, y))
         b = float(lbf(p, x, y))
         assert abs(a - b) / max(abs(a), 1e-6) < 0.05
+
+
+class TestPTIDatasetM:
+    def test_mirror_fallback(self, tmp_path):
+        import os
+
+        import numpy as np
+        from PIL import Image
+
+        from spi_tpu.data.dataset import PTIDatasetM
+        from spi_tpu.preprocess import camera_math as cm
+
+        for d in ("crop/a", "c/a"):
+            os.makedirs(tmp_path / d)
+        img = np.zeros((512, 512, 3), np.uint8)
+        img[:, :256] = 255  # left half white
+        Image.fromarray(img).save(tmp_path / "crop/a/target.jpg")
+        camdat = cm.cal_camera(np.array([0.0, 0.3, 0.0]), np.zeros(3))
+        label = cm.process_camera(camdat["pose"], camdat["intrinsics"])
+        np.save(tmp_path / "c/a/target.npy", label)
+
+        ds = PTIDatasetM(
+            source_root=str(tmp_path / "crop"), c_root=str(tmp_path / "c"),
+        )
+        assert len(ds) == 2
+        orig = ds[0]
+        mirr = ds[1]
+        assert mirr.name == "a_m"
+        # flipped image: white half moves right
+        assert orig.image[0, 0, 0, 0] > 0.9 and mirr.image[0, 0, 0, 0] < -0.9
+        pose = orig.camera[0, :16].reshape(4, 4)
+        pose_m = mirr.camera[0, :16].reshape(4, 4)
+        np.testing.assert_allclose(pose_m[0, 3], -pose[0, 3], atol=1e-6)
