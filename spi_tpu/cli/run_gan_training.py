@@ -35,6 +35,8 @@ def parse_args(argv=None):
     p.add_argument("--tick_kimg", type=float, default=4.0)
     p.add_argument("--resolution", type=int, default=512)
     p.add_argument("--neural_rendering_resolution", type=int, default=64)
+    p.add_argument("--sr_variant", type=str, default="SuperresolutionHybrid8XDC",
+                   help="must match --resolution (8XDC->512, 8X->256, 2X->128)")
     p.add_argument("--n_devices", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max_steps", type=int, default=None,
@@ -71,6 +73,8 @@ def main(argv=None):
     generator = ffhq512_128_config(
         img_resolution=args.resolution,
         neural_rendering_resolution=args.neural_rendering_resolution,
+        sr_variant=args.sr_variant,
+        compute_dtype="bfloat16",
     )
     discriminator = DualDiscriminator(
         c_dim=dataset.label_dim, img_resolution=args.resolution
