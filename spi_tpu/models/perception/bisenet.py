@@ -196,8 +196,10 @@ class BiSeNet:
         feat8, feat16, feat32 = self._resnet(cp["resnet"], x)
 
         avg = feat32.mean(axis=(2, 3), keepdims=True)
-        avg = self._cbr(cp["conv_avg"], avg, padding=0)
-        avg_up = jnp.broadcast_to(avg, feat32.shape[:2] + feat32.shape[2:])
+        avg = self._cbr(cp["conv_avg"], avg, padding=0)  # (N, 128, 1, 1)
+        avg_up = jnp.broadcast_to(
+            avg, avg.shape[:2] + feat32.shape[2:]
+        )  # matches the 128-ch ARM output, not feat32's 512
 
         feat32_sum = self._arm(cp["arm32"], feat32) + avg_up
         feat32_up = _resize_nearest(feat32_sum, feat16.shape[2:])

@@ -170,3 +170,17 @@ class TestShapeExtraction:
         import os
 
         assert os.path.exists(path)
+
+
+class TestBiSeNetFull:
+    def test_full_pipeline_parsing(self):
+        """Full BiSeNet forward at 512 (the avg-pool context path had a
+        channel-broadcast bug only visible at full depth)."""
+        from spi_tpu.models.perception.bisenet import BiSeNet, parse_faces
+
+        net = BiSeNet()
+        params = net.init(jax.random.PRNGKey(0))
+        x = jax.random.uniform(jax.random.PRNGKey(1), (1, 3, 128, 128))
+        out = parse_faces(net, params, x)
+        assert out.shape == (1, 128, 128)
+        assert int(out.max()) < 19
