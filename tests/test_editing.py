@@ -341,3 +341,49 @@ class TestStyleCLIPMapper:
                             jax.tree_util.tree_leaves(m2))
         )
         assert moved
+
+
+class TestBPETokenizer:
+    @pytest.fixture(scope="class")
+    def tokenizer(self, tmp_path_factory):
+        """Synthetic merges file in the released vocab's format (first
+        line is a header, then one merge per line)."""
+        import gzip
+
+        from spi_tpu.models.perception.clip_tokenizer import Tokenizer
+
+        merges = ["#version: synthetic"]
+        # enough merges to exercise the BPE loop on simple words
+        for pair in ["h e", "he l", "hel l", "hell o</w>", "w o", "wo r",
+                     "wor l", "worl d</w>", "a</w> a</w>"]:
+            merges.append(pair)
+        path = tmp_path_factory.mktemp("bpe") / "vocab.txt.gz"
+        with gzip.open(path, "wt", encoding="utf-8") as f:
+            f.write("\n".join(merges) + "\n")
+        return Tokenizer(str(path))
+
+    def test_encode_decode_roundtrip(self, tokenizer):
+        text = "hello world"
+        ids = tokenizer.encode(text)
+        assert len(ids) >= 2
+        assert tokenizer.decode(ids).strip() == "hello world"
+
+    def test_merges_applied(self, tokenizer):
+        # 'hello' must merge into a single token via the merge chain
+        ids = tokenizer.encode("hello")
+        assert len(ids) == 1
+
+    def test_tokenize_padding_and_eot(self, tokenizer):
+        out = tokenizer.tokenize(["hello", "hello world hello world"],
+                                 context_length=8)
+        assert out.shape == (2, 8)
+        sot = tokenizer.encoder["<|startoftext|>"]
+        eot = tokenizer.encoder["<|endoftext|>"]
+        assert out[0, 0] == sot
+        assert eot in out[0]
+        # over-long prompt truncates but keeps EOT last
+        assert out[1, -1] == eot or eot in out[1]
+
+    def test_unicode_and_casefold(self, tokenizer):
+        ids = tokenizer.encode("HELLO")
+        assert ids == tokenizer.encode("hello")
