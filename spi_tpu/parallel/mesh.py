@@ -100,3 +100,24 @@ def psum_metrics(mesh: Mesh, axis: str = "data"):
         )(values)
 
     return reduce
+
+
+def check_replica_consistency(params_per_device):
+    """TPU analog of misc.check_ddp_consistency (eg3d/torch_utils/
+    misc.py:181-192): verify every device's replica of a params pytree
+    matches device 0's bit-for-bit. `params_per_device` has a leading
+    device axis on every leaf (e.g. from jax.device_get of a replicated
+    array). Returns the list of mismatching leaf paths."""
+    import numpy as np
+
+    bad = []
+    for path, leaf in jax.tree_util.tree_leaves_with_path(params_per_device):
+        arr = np.asarray(leaf)
+        if arr.ndim == 0:
+            continue
+        ref = arr[0]
+        for d in range(1, arr.shape[0]):
+            if not np.array_equal(ref, arr[d]):
+                bad.append((jax.tree_util.keystr(path), d))
+                break
+    return bad

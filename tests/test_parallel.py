@@ -64,3 +64,16 @@ def test_checkpoint_roundtrip(tmp_path, tiny):
     assert len(a) == len(b)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_check_replica_consistency():
+    import numpy as np
+
+    from spi_tpu.parallel.mesh import check_replica_consistency
+
+    good = {"a": np.ones((4, 3)), "b": {"c": np.zeros((4, 2, 2))}}
+    assert check_replica_consistency(good) == []
+    bad = {"a": np.ones((4, 3))}
+    bad["a"][2, 1] = 5.0
+    out = check_replica_consistency(bad)
+    assert len(out) == 1 and out[0][1] == 2
