@@ -9,6 +9,7 @@ JAX — no hand-written double-backward machinery is needed.
 
 from spi_tpu.ops.bias_act import activation_funcs, bias_act
 from spi_tpu.ops.conv import conv2d, conv_transpose2d, conv2d_resample
+from spi_tpu.ops.filtered_lrelu import filtered_lrelu
 from spi_tpu.ops.grid_sample import grid_sample
 from spi_tpu.ops.resize import resize_area, resize_bilinear
 from spi_tpu.ops.upfirdn2d import (
@@ -19,6 +20,7 @@ from spi_tpu.ops.upfirdn2d import (
 )
 
 __all__ = [
+    "filtered_lrelu",
     "activation_funcs",
     "bias_act",
     "conv2d",

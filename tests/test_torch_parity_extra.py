@@ -111,3 +111,43 @@ class TestArcFaceParity:
         out = np.asarray(mine(params, jnp.asarray(x)))
         assert out.shape == out_ref.shape
         np.testing.assert_allclose(out, out_ref, rtol=5e-3, atol=5e-3)
+
+
+class TestFilteredLReLU:
+    def test_matches_reference_ref_impl(self):
+        """vs the reference's own _filtered_lrelu_ref on CPU."""
+        from torch_utils.ops.filtered_lrelu import filtered_lrelu as ref_flrelu
+
+        from spi_tpu.ops.filtered_lrelu import filtered_lrelu
+        from spi_tpu.ops import setup_filter
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(2, 4, 12, 12)).astype(np.float32)
+        b = rng.normal(size=(4,)).astype(np.float32)
+        fu = np.array([1.0, 3.0, 3.0, 1.0], np.float32)
+        fu = fu / fu.sum()
+        fd = fu.copy()
+
+        ref = ref_flrelu(
+            torch.from_numpy(x), fu=torch.from_numpy(fu),
+            fd=torch.from_numpy(fd), b=torch.from_numpy(b),
+            up=2, down=2, padding=3, gain=np.sqrt(2), slope=0.2,
+            clamp=5.0, impl="ref",
+        ).numpy()
+        out = np.asarray(filtered_lrelu(
+            jnp.asarray(x), fu=jnp.asarray(fu), fd=jnp.asarray(fd),
+            b=jnp.asarray(b), up=2, down=2, padding=3, clamp=5.0,
+        ))
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+    def test_no_filters_identity_path(self):
+        from torch_utils.ops.filtered_lrelu import filtered_lrelu as ref_flrelu
+
+        from spi_tpu.ops.filtered_lrelu import filtered_lrelu
+
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(1, 2, 8, 8)).astype(np.float32)
+        ref = ref_flrelu(torch.from_numpy(x), impl="ref").numpy()
+        out = np.asarray(filtered_lrelu(jnp.asarray(x)))
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
