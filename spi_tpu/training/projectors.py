@@ -149,8 +149,11 @@ def project(
 
             render_rng = jax.random.fold_in(step_rng, 1)
             if settings.mode == "mir":
-                ws2 = jnp.tile(ws, (2, 1, 1))
-                out = generator.synthesis(g, render_rng, ws2, cameras, noise_mode="const")
+                # one backbone pass shared by the [c, mirror(c)] pair
+                planes = generator._planes_nhwc(g, ws)
+                out = generator.synthesis_from_planes(
+                    g, render_rng, planes, ws, cameras
+                )
                 img = out["image"]
                 dist = lpips(lpips_params, img[:1], target) + weight_m * lpips(
                     lpips_params, img[1:], target_m
