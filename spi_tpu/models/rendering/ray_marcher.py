@@ -111,3 +111,93 @@ def march_rays_unsorted(colors, densities, depths, *, white_back: bool = False):
 
     composite_rgb = composite_rgb * 2.0 - 1.0
     return composite_rgb, composite_depth, weights
+
+
+def _masked_place(onehot, values):
+    """Place values[..., i] at slot j where onehot[..., i, j]; zero elsewhere,
+    summed over i -> (..., S). A lane-axis permutation as a fusable
+    compare-select-reduce (no sort/gather HLOs)."""
+    return jnp.sum(jnp.where(onehot, values[..., None], 0.0), axis=-2)
+
+
+def march_rays_merge(colors1, densities1, depths1, colors2, densities2, depths2,
+                     *, white_back: bool = False):
+    """march_rays over the union of TWO per-ray-sorted sample groups.
+
+    Replaces the reference's unify_samples sort-merge (renderer.py:157-167)
+    for the coarse+fine union. Both input groups are ascending along S by
+    construction (stratified depths are jittered linspace; importance
+    depths are the inverse CDF of SORTED uniforms — see sample_pdf), so
+    the full sort degenerates to a two-list merge. On TPU, sort and
+    take_along_axis along the lane (sample) axis lower catastrophically
+    (~44 ms per 128^2 x 96 render, measured v5e — 20x the rest of the
+    march combined); the merge instead computes each sample's merged RANK
+    with one broadcast compare + sum, and applies that permutation (and
+    its inverse, for the color coefficients) as masked reductions, which
+    XLA fuses into VPU compare-select-add chains.
+
+    Exactly march_rays(sort-merge of the groups) up to fp summation
+    order; colors never leave their original layout (the weighted-sum
+    algebra of march_rays_unsorted).
+    """
+    d1 = depths1[..., 0]  # (N, M, S1)
+    d2 = depths2[..., 0]  # (N, M, S2)
+    s1 = d1.shape[-1]
+    s2 = d2.shape[-1]
+    s = s1 + s2
+
+    # Stable merge ranks: group-1 wins ties (strict < vs <=).
+    r1 = jnp.arange(s1) + jnp.sum(
+        (d2[..., None, :] < d1[..., :, None]), axis=-1
+    )  # (N, M, S1)
+    r2 = jnp.arange(s2) + jnp.sum(
+        (d1[..., None, :] <= d2[..., :, None]), axis=-1
+    )  # (N, M, S2)
+    slots = jnp.arange(s)
+    oh1 = r1[..., :, None] == slots  # (N, M, S1, S)
+    oh2 = r2[..., :, None] == slots  # (N, M, S2, S)
+
+    d_sorted = (_masked_place(oh1, d1) + _masked_place(oh2, d2))[..., None]
+    sig_sorted = (
+        _masked_place(oh1, densities1[..., 0]) + _masked_place(oh2, densities2[..., 0])
+    )[..., None]
+
+    deltas = d_sorted[:, :, 1:] - d_sorted[:, :, :-1]
+    densities_mid = jax.nn.softplus(
+        (sig_sorted[:, :, :-1] + sig_sorted[:, :, 1:]) / 2 - 1.0
+    )
+    depths_mid = (d_sorted[:, :, :-1] + d_sorted[:, :, 1:]) / 2
+
+    alpha = 1.0 - jnp.exp(-densities_mid * deltas)
+    alpha_shifted = jnp.concatenate(
+        [jnp.ones_like(alpha[:, :, :1]), 1.0 - alpha + 1e-10], axis=-2
+    )
+    weights = alpha * jnp.cumprod(alpha_shifted, axis=-2)[:, :, :-1]  # (N,M,S-1,1)
+
+    # Midpoint-color coefficient of each sorted slot (march_rays_unsorted
+    # algebra), pulled back to each group's original order via the
+    # inverse permutation (a masked reduce over slots).
+    w = weights[..., 0]  # (N, M, S-1)
+    zero = jnp.zeros_like(w[:, :, :1])
+    wpad = jnp.concatenate([zero, w, zero], axis=-1)  # (N, M, S+1)
+    coeff_sorted = 0.5 * (wpad[:, :, :-1] + wpad[:, :, 1:])  # (N, M, S)
+    coeff1 = jnp.sum(jnp.where(oh1, coeff_sorted[..., None, :], 0.0), axis=-1)
+    coeff2 = jnp.sum(jnp.where(oh2, coeff_sorted[..., None, :], 0.0), axis=-1)
+
+    composite_rgb = jnp.sum(coeff1[..., None] * colors1, axis=-2) + jnp.sum(
+        coeff2[..., None] * colors2, axis=-2
+    )
+    weight_total = jnp.sum(weights, axis=2)
+    composite_depth = jnp.sum(weights * depths_mid, axis=-2) / weight_total
+    composite_depth = jnp.nan_to_num(composite_depth, nan=jnp.inf)
+    composite_depth = jnp.clip(
+        composite_depth,
+        jnp.minimum(jnp.min(depths1), jnp.min(depths2)),
+        jnp.maximum(jnp.max(depths1), jnp.max(depths2)),
+    )
+
+    if white_back:
+        composite_rgb = composite_rgb + 1.0 - weight_total
+
+    composite_rgb = composite_rgb * 2.0 - 1.0
+    return composite_rgb, composite_depth, weights

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from spi_tpu.models.rendering import math_utils
-from spi_tpu.models.rendering.ray_marcher import march_rays, march_rays_unsorted
+from spi_tpu.models.rendering.ray_marcher import march_rays, march_rays_merge
 from spi_tpu.ops.grid_sample import quad_sample_nhwc
 
 
@@ -151,7 +151,19 @@ def sample_pdf(rng, bins, weights, n_importance: int, det: bool = False, eps: fl
     if det:
         u = jnp.broadcast_to(jnp.linspace(0.0, 1.0, n_importance), (r, n_importance))
     else:
-        u = jax.random.uniform(rng, (r, n_importance))
+        # SORTED uniforms via the Rényi order-statistics representation:
+        # with E_1..E_{n+1} iid Exp(1) and S_k = sum_{i<=k} E_i,
+        # (S_1/S_{n+1}, ..., S_n/S_{n+1}) is distributed exactly as the
+        # ascending sort of n iid U(0,1) draws. The reference draws raw
+        # uniforms (renderer.py:231) and later sorts the coarse+fine
+        # union; emitting u ascending makes the importance depths
+        # ascending per ray (the CDF inverse is monotone), which lets
+        # the ray marcher merge two sorted lists instead of sorting —
+        # the lane-axis sort is pathologically slow on TPU (see
+        # march_rays_merge).
+        e = jax.random.exponential(rng, (r, n_importance + 1))
+        cum = jnp.cumsum(e, axis=-1)
+        u = cum[:, :n_importance] / cum[:, n_importance:]
 
     # The reference gathers cdf/bins at searchsorted indices
     # (renderer.py:237-243). On TPU both the binary search and the four
@@ -313,13 +325,13 @@ class ImportanceRenderer:
             depths_fine = sample_importance(rng_fine, depths_coarse, weights, n_imp)
             colors_fine, densities_fine = run(depths_fine)
 
-            # coarse+fine union composited without a feature-payload
-            # sort (march_rays_unsorted docstring; replaces the
-            # unify_samples sort-merge of renderer.py:157-167)
-            rgb_final, depth_final, weights = march_rays_unsorted(
-                jnp.concatenate([colors_coarse, colors_fine], axis=-2),
-                jnp.concatenate([densities_coarse, densities_fine], axis=-2),
-                jnp.concatenate([depths_coarse, depths_fine], axis=-2),
+            # coarse+fine union composited as a rank-based merge of two
+            # per-ray-sorted groups — no sort, no take_along_axis
+            # (march_rays_merge docstring; replaces the unify_samples
+            # sort-merge of renderer.py:157-167)
+            rgb_final, depth_final, weights = march_rays_merge(
+                colors_coarse, densities_coarse, depths_coarse,
+                colors_fine, densities_fine, depths_fine,
                 white_back=opts.white_back,
             )
         else:

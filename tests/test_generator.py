@@ -285,6 +285,76 @@ class TestMarchUnsorted:
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+class TestMarchMerge:
+    def _groups(self, key, n=2, m=64, s1=12, s2=9, c=8):
+        k = jax.random.split(key, 6)
+        d1 = jnp.sort(jax.random.uniform(k[0], (n, m, s1, 1), minval=2.0, maxval=3.0), axis=2)
+        d2 = jnp.sort(jax.random.uniform(k[1], (n, m, s2, 1), minval=2.0, maxval=3.0), axis=2)
+        c1 = jax.random.uniform(k[2], (n, m, s1, c))
+        c2 = jax.random.uniform(k[3], (n, m, s2, c))
+        s1_ = jax.random.normal(k[4], (n, m, s1, 1))
+        s2_ = jax.random.normal(k[5], (n, m, s2, 1))
+        return (c1, s1_, d1), (c2, s2_, d2)
+
+    def test_matches_sorted_march(self):
+        """march_rays_merge(two sorted groups) == march_rays(sorted union)."""
+        import numpy as np
+
+        from spi_tpu.models.rendering.ray_marcher import march_rays, march_rays_merge
+
+        (c1, s1, d1), (c2, s2, d2) = self._groups(jax.random.PRNGKey(0))
+        # sorted-union reference via numpy argsort of the concat
+        dcat = jnp.concatenate([d1, d2], axis=2)
+        ccat = jnp.concatenate([c1, c2], axis=2)
+        scat = jnp.concatenate([s1, s2], axis=2)
+        order = np.argsort(np.asarray(dcat[..., 0]), axis=-1)
+        take = lambda x: jnp.take_along_axis(x, jnp.asarray(order)[..., None], axis=2)
+        rgb_ref, depth_ref, w_ref = march_rays(take(ccat), take(scat), take(dcat))
+
+        rgb, depth, w = march_rays_merge(c1, s1, d1, c2, s2, d2)
+        np.testing.assert_allclose(np.asarray(rgb), np.asarray(rgb_ref), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(depth), np.asarray(depth_ref), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref), atol=1e-5)
+
+    def test_white_back_and_grads(self):
+        import numpy as np
+
+        from spi_tpu.models.rendering.ray_marcher import march_rays, march_rays_merge
+
+        (c1, s1, d1), (c2, s2, d2) = self._groups(jax.random.PRNGKey(7), m=16, c=3)
+        a = march_rays_merge(c1, s1, d1, c2, s2, d2, white_back=True)[0]
+        dcat = jnp.concatenate([d1, d2], axis=2)
+        order = np.argsort(np.asarray(dcat[..., 0]), axis=-1)
+        take = lambda x: jnp.take_along_axis(x, jnp.asarray(order)[..., None], axis=2)
+        b = march_rays(
+            take(jnp.concatenate([c1, c2], axis=2)),
+            take(jnp.concatenate([s1, s2], axis=2)),
+            take(dcat),
+            white_back=True,
+        )[0]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+        # gradient wrt densities flows and matches the sorted formulation
+        ga = jax.grad(
+            lambda s1: jnp.sum(march_rays_merge(c1, s1, d1, c2, s2, d2)[0])
+        )(s1)
+        assert np.isfinite(np.asarray(ga)).all() and np.abs(np.asarray(ga)).max() > 0
+
+    def test_sample_pdf_nondet_sorted(self):
+        """Non-det sample_pdf emits ascending samples with the right range."""
+        import numpy as np
+
+        from spi_tpu.models.rendering.renderer import sample_pdf
+
+        r, b, i = 64, 12, 24
+        bins = jnp.sort(jax.random.uniform(jax.random.PRNGKey(0), (r, b + 2)), axis=-1)
+        weights = jax.random.uniform(jax.random.PRNGKey(1), (r, b))
+        out = np.asarray(sample_pdf(jax.random.PRNGKey(2), bins, weights, i))
+        assert (np.diff(out, axis=-1) >= 0).all()
+        bn = np.asarray(bins)
+        assert (out >= bn[:, :1] - 1e-6).all() and (out <= bn[:, b : b + 1] + 1e-6).all()
+
+
 class TestQuadSample:
     def test_matches_grid_sample_nhwc(self):
         import numpy as np
