@@ -271,6 +271,14 @@ class ImportanceRenderer:
         return merge(rgb), merge(depth), merge(wsum)
 
     def _render_rays(self, rng, planes_nhwc, decoder: Callable, ray_origins, ray_directions):
+        # named_scope mirrors the reference's profiled_function boundaries
+        # (misc.py:102-107 applied over renderer.py) for jax.profiler traces.
+        with jax.named_scope("importance_render"):
+            return self._render_rays_inner(
+                rng, planes_nhwc, decoder, ray_origins, ray_directions
+            )
+
+    def _render_rays_inner(self, rng, planes_nhwc, decoder: Callable, ray_origins, ray_directions):
         opts = self.options
         rng_coarse, rng_fine, rng_noise = jax.random.split(rng, 3)
 
@@ -301,12 +309,14 @@ class ImportanceRenderer:
         def run(depths):
             pts = ray_origins[:, :, None, :] + depths * ray_directions[:, :, None, :]
             pts = pts.reshape(n, -1, 3)
-            feats = sample_from_planes(planes_nhwc, pts, opts.box_warp)
-            feats = feats.mean(axis=1)  # aggregate planes (triplane.py:125)
+            with jax.named_scope("triplane_sample"):
+                feats = sample_from_planes(planes_nhwc, pts, opts.box_warp)
+                feats = feats.mean(axis=1)  # aggregate planes (triplane.py:125)
             dirs = jnp.broadcast_to(
                 ray_directions[:, :, None, :], (n, m, depths.shape[2], 3)
             ).reshape(n, -1, 3)
-            rgb, sigma = decoder(feats, dirs)
+            with jax.named_scope("osg_decode"):
+                rgb, sigma = decoder(feats, dirs)
             if opts.density_noise > 0:
                 sigma = sigma + jax.random.normal(rng_noise, sigma.shape) * opts.density_noise
             k = depths.shape[2]

@@ -98,28 +98,31 @@ def modulated_conv2d(
     executed as scale -> shared-weight conv -> scale, which maps to a
     single large MXU convolution regardless of batch size.
     """
-    dcoefs = None
-    if demodulate:
-        # sum_{i,k,k} (w_oik * s_i)^2 = sum_i (sum_kk w^2)_oi * s_i^2
-        w2 = jnp.sum(jnp.square(weight), axis=(2, 3))  # (O, I)
-        sigma2 = jnp.square(styles) @ w2.T  # (N, O)
-        dcoefs = jax.lax.rsqrt(sigma2 + 1e-8)
+    # named_scope mirrors the reference's profiled_function on
+    # modulated_conv2d (networks_stylegan2.py:33) for jax.profiler traces.
+    with jax.named_scope("modulated_conv2d"):
+        dcoefs = None
+        if demodulate:
+            # sum_{i,k,k} (w_oik * s_i)^2 = sum_i (sum_kk w^2)_oi * s_i^2
+            w2 = jnp.sum(jnp.square(weight), axis=(2, 3))  # (O, I)
+            sigma2 = jnp.square(styles) @ w2.T  # (N, O)
+            dcoefs = jax.lax.rsqrt(sigma2 + 1e-8)
 
-    x = x * styles[:, :, None, None]
-    x = conv2d_resample(
-        x,
-        weight,
-        f=resample_filter,
-        up=up,
-        down=down,
-        padding=padding,
-        flip_weight=flip_weight,
-    )
-    if demodulate:
-        x = x * dcoefs[:, :, None, None]
-    if noise is not None:
-        x = x + noise
-    return x
+        x = x * styles[:, :, None, None]
+        x = conv2d_resample(
+            x,
+            weight,
+            f=resample_filter,
+            up=up,
+            down=down,
+            padding=padding,
+            flip_weight=flip_weight,
+        )
+        if demodulate:
+            x = x * dcoefs[:, :, None, None]
+        if noise is not None:
+            x = x + noise
+        return x
 
 
 # ---------------------------------------------------------------------------

@@ -289,6 +289,7 @@ class TriPlaneGenerator:
         if ws.shape[0] != n:
             ws = jnp.broadcast_to(ws, (n,) + ws.shape[1:])
 
+        @jax.named_scope("superresolution")
         def run_sr(sr_params, rgb, feat, ws):
             res_img = self.superresolution(
                 self._cast(sr_params), self._cast(rgb), self._cast(feat),

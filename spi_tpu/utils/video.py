@@ -7,6 +7,8 @@ available (gated — ffmpeg is not guaranteed in every environment).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 import jax
@@ -61,6 +63,13 @@ def render_orbit_video(generator, g_params, w, path: str, num_frames: int = 60,
 
         imageio.mimwrite(path, list(frames), fps=fps)
     except Exception:
-        # No encoder available: dump frames as a npz next to the target path.
-        np.savez(path + ".frames.npz", frames=frames)
+        # No mp4 encoder (ffmpeg) available: fall back to GIF (pillow
+        # plugin, always present), then to raw frames as npz.
+        try:
+            import imageio.v2 as imageio
+
+            gif = os.path.splitext(path)[0] + ".gif"
+            imageio.mimwrite(gif, list(frames), duration=1000.0 / fps, loop=0)
+        except Exception:
+            np.savez(path + ".frames.npz", frames=frames)
     return frames
