@@ -253,8 +253,11 @@ class ImportanceRenderer:
             # Normalize per-chunk WORK (n_cameras x rays) rather than rays:
             # batch-4 chunks at the batch-1 chunk size quadruple the live
             # gather/scatter tensors per body and spill (measured +22% on a
-            # 4-camera render backward on v5e).
-            chunk = max(512, chunk // n)
+            # 4-camera render backward on v5e). Round down to a power of
+            # two so the chunk still divides the (power-of-two) ray count
+            # for non-power-of-two camera batches.
+            per = max(512, chunk // n)
+            chunk = 1 << (per.bit_length() - 1)
         if chunk is None or m <= chunk or m % chunk != 0:
             return self._render_rays(rng, planes_nhwc, decoder, ray_origins, ray_directions)
 
