@@ -8,8 +8,11 @@ notes:
   2x2 bilinear footprint with ONE take per plane
   (spi_tpu.ops.grid_sample.quad_sample_nhwc — TPU gathers are
   latency-bound per index).
-- The coarse+fine union is composited WITHOUT sorting the feature
-  payload (ray_marcher.march_rays_unsorted).
+- The coarse+fine union is composited WITHOUT sorting: both sample
+  groups are ascending by construction (jittered linspace; sorted
+  uniforms through the inverse CDF), so the union is a rank-based
+  two-sorted-list merge (ray_marcher.march_rays_merge) — lane-axis
+  sort/gather lower pathologically on TPU.
 - The plane projection (renderer.py:23-53) is three fixed axis picks —
   (x,y), (x,z), (z,x) — rather than a batched matrix inverse.
 - Importance sampling (renderer.py:194-253) runs under stop_gradient;
@@ -253,11 +256,14 @@ class ImportanceRenderer:
             # Normalize per-chunk WORK (n_cameras x rays) rather than rays:
             # batch-4 chunks at the batch-1 chunk size quadruple the live
             # gather/scatter tensors per body and spill (measured +22% on a
-            # 4-camera render backward on v5e). Round down to a power of
-            # two so the chunk still divides the (power-of-two) ray count
-            # for non-power-of-two camera batches.
-            per = max(512, chunk // n)
-            chunk = 1 << (per.bit_length() - 1)
+            # 4-camera render backward on v5e). Use the largest divisor of
+            # m not exceeding chunk/n so the chunked path survives any
+            # (m, n) combination; give up (unchunked) rather than degrade
+            # into a pathologically long per-ray map.
+            target = max(1, chunk // n)
+            while target >= 32 and m % target:
+                target -= 1
+            chunk = target if target >= 32 else None
         if chunk is None or m <= chunk or m % chunk != 0:
             return self._render_rays(rng, planes_nhwc, decoder, ray_origins, ray_directions)
 

@@ -17,19 +17,12 @@ import jax
 import jax.numpy as jnp
 
 
-def bench(name, fn, *args, n=8):
-    fn_j = jax.jit(fn)
-    out = fn_j(*args)
-    jax.block_until_ready(out)
-    ts = []
-    for _ in range(n):
-        t0 = time.perf_counter()
-        out = fn_j(*args)
-        jax.block_until_ready(out)
-        ts.append(time.perf_counter() - t0)
-    dt = min(ts)
-    print(f"{name:42s} {dt * 1e3:9.2f} ms  (median {sorted(ts)[len(ts)//2]*1e3:.2f})")
-    return dt
+def bench(name, fn, *args, n=None):
+    # Per-call wall timing measures mostly axon-tunnel transport
+    # (~80-90 ms/program); delegate to the scan-slope timer.
+    from bench_util import bench_scan
+
+    return bench_scan(name, fn, *args)
 
 
 def main():
