@@ -91,18 +91,41 @@ class DirectionalCLIPLoss:
         """
         ctx = self.model.context_length
 
+        # One jitted text encoder reused for every template batch: the
+        # imagenet-template expansion makes ~32 encode calls of identical
+        # shape, and eager per-op dispatch is pathologically slow on
+        # remote-compiled backends.
+        encode = jax.jit(self.template_features)
+
         def feats(texts):
-            return self.template_features(
-                params, tokenizer.tokenize(texts, context_length=ctx)
-            )
+            return encode(params, jnp.asarray(
+                tokenizer.tokenize(texts, context_length=ctx)
+            ))
 
         src = feats(compose_text_with_templates(source_class, imagenet_templates))
         tgt = feats(compose_text_with_templates(target_class, imagenet_templates))
         direction = _normalize(jnp.mean(tgt - src, axis=0, keepdims=True))
 
+        # Per part sentence, the reference computes a full
+        # compute_text_direction — i.e. each part sentence is expanded
+        # through ALL imagenet templates and the mean difference is
+        # normalized (clip_loss.py:261-267 -> :117-124).
         src_parts = compose_text_with_templates(source_class, part_templates)
         tgt_parts = compose_text_with_templates(target_class, part_templates)
-        part_dirs = _normalize(feats(tgt_parts) - feats(src_parts))
+        part_dirs = jnp.concatenate(
+            [
+                _normalize(
+                    jnp.mean(
+                        feats(compose_text_with_templates(tp, imagenet_templates))
+                        - feats(compose_text_with_templates(sp, imagenet_templates)),
+                        axis=0,
+                        keepdims=True,
+                    )
+                )
+                for sp, tp in zip(src_parts, tgt_parts)
+            ],
+            axis=0,
+        )
 
         return CLIPLossState(
             target_direction=direction,
@@ -147,8 +170,11 @@ class DirectionalCLIPLoss:
         cos_text = state.target_text_features @ state.src_text_features.T
         src = self.encode_image(params, src_img)
         tgt = self.encode_image(params, target_img)
-        cos_img = jnp.clip(jnp.einsum("nd,md->nm", tgt, src), -1.0, 1.0)
-        return jnp.mean(jnp.abs(cos_img - cos_text))
+        # matched (i, i) pairs only: each trainable render vs ITS OWN
+        # frozen render (clip_loss.py:164-166 batched (B,1,1) matmul),
+        # not the N x M cross-image cosines.
+        cos_img = jnp.clip(jnp.sum(tgt * src, axis=-1), -1.0, 1.0)
+        return jnp.mean(jnp.abs(cos_img - jnp.squeeze(cos_text)))
 
     def _random_patches(self, rng, img, num_patches: int, size: int):
         """(N,3,H,W) -> (N*num_patches,3,size,size), random centers

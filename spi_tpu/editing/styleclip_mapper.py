@@ -30,28 +30,37 @@ def _pixel_norm(x, eps: float = 1e-8):
 
 @dataclasses.dataclass(frozen=True)
 class Mapper:
-    """4x [PixelNorm -> EqualLinear -> LeakyReLU(0.2)]."""
+    """PixelNorm ONCE at the input, then depth x EqualLinear(dim,
+    lr_mul=0.01, activation='fused_lrelu') (latent_mappers.py:8-28).
+
+    EqualLinear stores weights pre-divided by lr_mul and applies the
+    runtime scale lr_mul/sqrt(dim) (equalized lr with a 100x-damped
+    effective step); fused_lrelu is leaky_relu(x + b, 0.2) * sqrt(2).
+    """
 
     dim: int = 512
     depth: int = 4
+    lr_mul: float = 0.01
 
     def init(self, key) -> Params:
         keys = jax.random.split(key, self.depth)
         return {
             str(i): {
-                "weight": jax.random.normal(keys[i], (self.dim, self.dim)),
+                "weight": jax.random.normal(keys[i], (self.dim, self.dim))
+                / self.lr_mul,
                 "bias": jnp.zeros((self.dim,)),
             }
             for i in range(self.depth)
         }
 
     def __call__(self, params: Params, x):
-        scale = 1.0 / jnp.sqrt(jnp.asarray(self.dim, jnp.float32))
+        x = _pixel_norm(x)
+        scale = self.lr_mul / jnp.sqrt(jnp.asarray(self.dim, jnp.float32))
+        gain = jnp.sqrt(jnp.asarray(2.0, x.dtype))
         for i in range(self.depth):
-            x = _pixel_norm(x)
             p = params[str(i)]
-            x = x @ (p["weight"].T * scale) + p["bias"]
-            x = jax.nn.leaky_relu(x, 0.2)
+            x = x @ (p["weight"].T * scale) + p["bias"] * self.lr_mul
+            x = jax.nn.leaky_relu(x, 0.2) * gain
         return x
 
 
@@ -136,7 +145,11 @@ class StyleCLIPCoach:
             k1, k2 = jax.random.split(rng)
             img_edit = generator_render(g_params, k1, ws_edit)
             loss = clip_global_loss(clip_params, img_edit, target_tokens)
-            loss = loss + s.latent_l2_lambda * jnp.mean(jnp.square(delta))
+            # reference penalizes MSE(w_hat, w) = mean((edit_scale*delta)^2)
+            # (coach.py:211 with w_hat = w + 0.1*mapper(w))
+            loss = loss + s.latent_l2_lambda * jnp.mean(
+                jnp.square(s.edit_scale * delta)
+            )
             if id_loss is not None and s.id_lambda > 0:
                 img_orig = jax.lax.stop_gradient(
                     generator_render(g_params, k2, ws)

@@ -95,11 +95,27 @@ def conv_mask(g_params: Params):
 
 
 @dataclasses.dataclass(frozen=True)
-class ZSSGANTrainer:
-    generator: TriPlaneGenerator
+class TwinGeneratorTrainer:
+    """Shared frozen/trainable twin-generator CLIP editing step.
+
+    Subclasses supply `sample_w`, `render` and `grad_mask` (the 2D and
+    EG3D variants differ only in those three); everything else — state
+    precompute, the weighted multi-CLIP loss, the masked-gradient Adam
+    step — is identical machinery (train.py:66-81)."""
+
+    generator: Any
     clip_losses: dict  # name -> DirectionalCLIPLoss
     clip_weights: dict  # name -> float
     settings: EditingSettings = EditingSettings()
+
+    def sample_w(self, frozen_params: Params, rng, batch: int, truncation=None):
+        raise NotImplementedError
+
+    def render(self, g_params: Params, rng, ws):
+        raise NotImplementedError
+
+    def grad_mask(self, trainable: Params):
+        raise NotImplementedError
 
     def build_states(self, clip_params: dict, tokenizer) -> dict:
         """Precompute per-model text-direction state (host, once)."""
@@ -110,6 +126,49 @@ class ZSSGANTrainer:
             )
             for name, loss in self.clip_losses.items()
         }
+
+    def clip_loss(self, clip_params, rng, frozen_img, trainable_img, states):
+        """Sum over CLIP models (ZSSGAN_eg3d.py:255)."""
+        total = 0.0
+        for name, loss in self.clip_losses.items():
+            total += self.clip_weights[name] * loss(
+                clip_params[name], rng, frozen_img, trainable_img, states[name]
+            )
+        return total
+
+    def make_step(self, frozen_params: Params):
+        """Returns jitted step(trainable, opt_state, clip_params, states,
+        rng) -> (trainable, opt_state, loss). `frozen_params` is closed
+        over as a compile-time constant (it never changes)."""
+        s = self.settings
+        opt = s.adam
+
+        def loss_fn(trainable, clip_params, states, rng):
+            kz, kn1, kn2, kc = jax.random.split(rng, 4)
+            ws = jax.lax.stop_gradient(self.sample_w(frozen_params, kz, s.batch))
+            frozen_img = jax.lax.stop_gradient(self.render(frozen_params, kn1, ws))
+            trainable_img = self.render(trainable, kn2, ws)
+            return self.clip_loss(clip_params, kc, frozen_img, trainable_img, states)
+
+        def step(trainable, opt_state, clip_params, states, rng):
+            mask = self.grad_mask(trainable)
+            loss, grads = jax.value_and_grad(loss_fn)(trainable, clip_params, states, rng)
+            grads = jax.tree_util.tree_map(
+                lambda m, g: g if m else jnp.zeros_like(g), mask, grads
+            )
+            updates, opt_state = opt.update(grads, opt_state, trainable)
+            trainable = optax.apply_updates(trainable, updates)
+            return trainable, opt_state, loss
+
+        return jax.jit(step)
+
+    def init_opt_state(self, trainable: Params):
+        return self.settings.adam.init(trainable)
+
+
+@dataclasses.dataclass(frozen=True)
+class ZSSGANTrainer(TwinGeneratorTrainer):
+    generator: TriPlaneGenerator
 
     def sample_w(self, frozen_params: Params, rng, batch: int, truncation=None):
         """z ~ N(0,I) -> frozen mapping with truncation
@@ -125,14 +184,8 @@ class ZSSGANTrainer:
             "image"
         ]
 
-    def clip_loss(self, clip_params, rng, frozen_img, trainable_img, states):
-        """Sum over CLIP models (ZSSGAN_eg3d.py:255)."""
-        total = 0.0
-        for name, loss in self.clip_losses.items():
-            total += self.clip_weights[name] * loss(
-                clip_params[name], rng, frozen_img, trainable_img, states[name]
-            )
-        return total
+    def grad_mask(self, trainable: Params):
+        return conv_mask(trainable)
 
     def rank_w_slots(self, params, clip_params, states, rng, frozen_params):
         """determine_opt_layers' ranking (ZSSGAN_eg3d.py:161-188): run
@@ -158,32 +211,3 @@ class ZSSGANTrainer:
 
         ws, _ = jax.lax.scan(body, ws0, None, length=s.auto_layer_iters)
         return jnp.mean(jnp.abs(ws - ws0), axis=(0, 2))  # (num_ws,)
-
-    def make_step(self, frozen_params: Params):
-        """Returns jitted step(trainable, opt_state, clip_params, states,
-        rng) -> (trainable, opt_state, loss). `frozen_params` is closed
-        over as a compile-time constant (it never changes)."""
-        s = self.settings
-        opt = s.adam
-
-        def loss_fn(trainable, clip_params, states, rng):
-            kz, kn1, kn2, kc = jax.random.split(rng, 4)
-            ws = jax.lax.stop_gradient(self.sample_w(frozen_params, kz, s.batch))
-            frozen_img = jax.lax.stop_gradient(self.render(frozen_params, kn1, ws))
-            trainable_img = self.render(trainable, kn2, ws)
-            return self.clip_loss(clip_params, kc, frozen_img, trainable_img, states)
-
-        def step(trainable, opt_state, clip_params, states, rng):
-            mask = conv_mask(trainable)
-            loss, grads = jax.value_and_grad(loss_fn)(trainable, clip_params, states, rng)
-            grads = jax.tree_util.tree_map(
-                lambda m, g: g if m else jnp.zeros_like(g), mask, grads
-            )
-            updates, opt_state = opt.update(grads, opt_state, trainable)
-            trainable = optax.apply_updates(trainable, updates)
-            return trainable, opt_state, loss
-
-        return jax.jit(step)
-
-    def init_opt_state(self, trainable: Params):
-        return self.settings.adam.init(trainable)

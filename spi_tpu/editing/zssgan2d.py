@@ -26,42 +26,37 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from spi_tpu.editing.zssgan import EditingSettings, _path_names
+from spi_tpu.editing.zssgan import EditingSettings, TwinGeneratorTrainer, _path_names
 from spi_tpu.models.stylegan2 import Generator
 
 Params = dict[str, Any]
 
 
 def conv_mask_2d(g_params: Params):
-    """True on synthesis conv params (synthesis.b{res}.conv{0,1}.*)."""
+    """True on synthesis conv params (synthesis.b{res}.conv{0,1}.*) AND
+    the learned constant input: the reference's default training set is
+    get_all_layers()[1:3] + convs (ZSSGAN.py get_training_layers), whose
+    [1:3] slice covers the ConstantInput — coarse-structure edits need
+    its gradient."""
 
     def f(path, _leaf):
         names = _path_names(path)
-        return (
-            len(names) >= 3
-            and names[0] == "synthesis"
-            and names[2] in ("conv0", "conv1")
+        return len(names) >= 3 and names[0] == "synthesis" and (
+            names[2] in ("conv0", "conv1") or names[-1] == "const"
         )
 
     return jax.tree_util.tree_map_with_path(f, g_params)
 
 
 @dataclasses.dataclass(frozen=True)
-class ZSSGAN2DTrainer:
-    generator: Generator
-    clip_losses: dict  # name -> DirectionalCLIPLoss
-    clip_weights: dict  # name -> float
-    settings: EditingSettings = EditingSettings()
-    mixing_prob: float = 0.0  # --mixing (train.py mixing_noise)
+class ZSSGAN2DTrainer(TwinGeneratorTrainer):
+    """2D variant: differs from the EG3D trainer only in w sampling
+    (style mixing, no camera conditioning), rendering (plain SG2
+    synthesis) and the trainable mask; the step machinery lives in
+    TwinGeneratorTrainer."""
 
-    def build_states(self, clip_params: dict, tokenizer) -> dict:
-        s = self.settings
-        return {
-            name: loss.build_state(
-                clip_params[name], tokenizer, s.source_class, s.target_class
-            )
-            for name, loss in self.clip_losses.items()
-        }
+    generator: Generator
+    mixing_prob: float = 0.0  # --mixing (train.py mixing_noise)
 
     def sample_w(self, frozen_params: Params, rng, batch: int, truncation=None):
         """mixing_noise + mapping: with prob `mixing_prob` two z codes
@@ -93,38 +88,5 @@ class ZSSGAN2DTrainer:
             g_params["synthesis"], ws, noise_mode="random", rng=rng
         )
 
-    def make_step(self, frozen_params: Params):
-        s = self.settings
-        opt = s.adam
-
-        def clip_loss(clip_params, rng, frozen_img, trainable_img, states):
-            total = 0.0
-            for name, loss in self.clip_losses.items():
-                total += self.clip_weights[name] * loss(
-                    clip_params[name], rng, frozen_img, trainable_img, states[name]
-                )
-            return total
-
-        def loss_fn(trainable, clip_params, states, rng):
-            kz, kn1, kn2, kc = jax.random.split(rng, 4)
-            ws = jax.lax.stop_gradient(self.sample_w(frozen_params, kz, s.batch))
-            frozen_img = jax.lax.stop_gradient(self.render(frozen_params, kn1, ws))
-            trainable_img = self.render(trainable, kn2, ws)
-            return clip_loss(clip_params, kc, frozen_img, trainable_img, states)
-
-        def step(trainable, opt_state, clip_params, states, rng):
-            mask = conv_mask_2d(trainable)
-            loss, grads = jax.value_and_grad(loss_fn)(
-                trainable, clip_params, states, rng
-            )
-            grads = jax.tree_util.tree_map(
-                lambda m, g: g if m else jnp.zeros_like(g), mask, grads
-            )
-            updates, opt_state = opt.update(grads, opt_state, trainable)
-            trainable = optax.apply_updates(trainable, updates)
-            return trainable, opt_state, loss
-
-        return jax.jit(step)
-
-    def init_opt_state(self, trainable: Params):
-        return self.settings.adam.init(trainable)
+    def grad_mask(self, trainable: Params):
+        return conv_mask_2d(trainable)

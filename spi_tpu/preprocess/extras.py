@@ -15,28 +15,29 @@ import numpy as np
 from PIL import Image
 
 
-def mirror_padding(img: Image.Image, pad: int = 250, blur_sigma: float = 3.0):
-    """Reflect-pad `pad` px on each side and progressively blur the
-    padded border by distance from the valid region
-    (mirror_padding.py:17-38)."""
+def mirror_padding(img: Image.Image, pad: int = 250, blur_sigma: float = 5.0):
+    """Reflect-pad `pad` px on each side and blur the pad band
+    (mirror_padding.py:22-38 exactly): with d = distance from the outer
+    edge in pad units, the blur weight is clip(3*(1 - d) + 1, 0, 1) —
+    full blur over the ENTIRE pad band (weight 1 for d <= 1, including
+    right at the image border) feathering to 0 at d = 4/3, i.e. ~pad/3
+    INTO the valid image; gaussian sigma 5."""
     try:
-        from scipy.ndimage import distance_transform_edt, gaussian_filter
+        from scipy.ndimage import gaussian_filter
     except ImportError as e:  # scipy is available in this image; guard anyway
         raise RuntimeError("mirror_padding requires scipy") from e
 
     arr = np.asarray(img.convert("RGB"), np.float32)
-    h, w, _ = arr.shape
     padded = np.pad(arr, ((pad, pad), (pad, pad), (0, 0)), mode="reflect")
-    valid = np.zeros(padded.shape[:2], bool)
-    valid[pad : pad + h, pad : pad + w] = True
-    dist = distance_transform_edt(~valid)
-    # blur strength grows with distance into the pad
-    blurred = np.stack(
-        [gaussian_filter(padded[..., c], sigma=blur_sigma * 3) for c in range(3)],
-        axis=-1,
+    h, w, _ = padded.shape
+    y, x = np.mgrid[:h, :w].astype(np.float32)
+    mask = 1.0 - np.minimum(
+        np.minimum(x / pad, y / pad),
+        np.minimum((w - 1 - x) / pad, (h - 1 - y) / pad),
     )
-    weight = np.clip(dist / pad, 0.0, 1.0)[..., None]
-    out = padded * (1 - weight) + blurred * weight
+    blurred = gaussian_filter(padded, [blur_sigma, blur_sigma, 0])
+    weight = np.clip(mask * 3.0 + 1.0, 0.0, 1.0)[..., None]
+    out = padded + (blurred - padded) * weight
     return Image.fromarray(np.clip(out, 0, 255).astype(np.uint8))
 
 

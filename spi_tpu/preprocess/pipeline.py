@@ -34,6 +34,19 @@ class PreprocessModels:
     fan: Any = None  # (FAN, params)
     face_recon: Any = None  # (FaceReconNet, params)
     bisenet: Any = None  # (BiSeNet, params)
+    # jitted callables built lazily ONCE per bundle: re-wrapping a fresh
+    # jax.jit(lambda ...) per image would miss the trace cache and
+    # recompile every network per call.
+    _jitted: dict = dataclasses.field(default_factory=dict, repr=False)
+
+    def jitted(self, name: str, build):
+        fn = self._jitted.get(name)
+        if fn is None:
+            import jax
+
+            fn = jax.jit(build())
+            self._jitted[name] = fn
+        return fn
 
     @classmethod
     def random_init(cls, key=None):
@@ -63,34 +76,36 @@ def _to01(img: Image.Image) -> np.ndarray:
 
 def get_landmarks(models: PreprocessModels, img: Image.Image) -> np.ndarray:
     """68x2 landmarks in image pixel coords (extract_landmark.py:14-22)."""
-    import jax
-
     fan, params = models.fan
-    from spi_tpu.models.perception.fan import landmarks_from_image
 
-    pts = jax.jit(lambda p, x: landmarks_from_image(fan, p, x))(params, _to01(img))
+    def build():
+        from spi_tpu.models.perception.fan import landmarks_from_image
+
+        return lambda p, x: landmarks_from_image(fan, p, x)
+
+    pts = models.jitted("landmarks", build)(params, _to01(img))
     return np.asarray(pts[0])
 
 
 def get_3dmm_pose(models: PreprocessModels, img224: Image.Image):
     """aligned 224 image -> (angle (3,), trans (3,))
     (extract_3dmm.py:154-222 reduced to the pose outputs SPI consumes)."""
-    import jax
-
     net, params = models.face_recon
-    coeffs = jax.jit(net)(params, _to01(img224))
+    coeffs = models.jitted("face_recon", lambda: net)(params, _to01(img224))
     split = net.split_coeff(coeffs)
     return np.asarray(split["angle"][0]), np.asarray(split["trans"][0])
 
 
 def get_parsing(models: PreprocessModels, img512: Image.Image) -> np.ndarray:
     """512x512 crop -> (512, 512) int parsing map (extract_mask.py:35-62)."""
-    import jax
-
-    from spi_tpu.models.perception.bisenet import parse_faces
-
     net, params = models.bisenet
-    out = jax.jit(lambda p, x: parse_faces(net, p, x))(params, _to01(img512))
+
+    def build():
+        from spi_tpu.models.perception.bisenet import parse_faces
+
+        return lambda p, x: parse_faces(net, p, x)
+
+    out = models.jitted("parsing", build)(params, _to01(img512))
     return np.asarray(out[0]).astype(np.int64)
 
 
