@@ -85,8 +85,10 @@ def main(argv=None):
         r1_gamma=args.gamma, density_reg=args.density_reg,
         ada_target=args.target,
     )
-    trainer = GANTrainer(generator, discriminator, config)
     augment = AugmentPipe() if args.aug != "noaug" else None
+    # The pipe lives INSIDE the trainer: run_D must augment both real
+    # and generated pairs (upstream EG3D loss), not just the real batch.
+    trainer = GANTrainer(generator, discriminator, config, augment=augment)
 
     state = trainer.init_state(jax.random.PRNGKey(args.seed))
     step_fn = trainer.make_step(mesh=mesh)
@@ -104,10 +106,8 @@ def main(argv=None):
     t0 = time.time()
     for step in range(total_steps):
         real, labels = next(batches)
-        rng, k_aug, k_step = jax.random.split(rng, 3)
+        rng, k_step = jax.random.split(rng)
         real = jnp.asarray(real)
-        if augment is not None and aug_p > 0:
-            real = augment(None, k_aug, real, aug_p)
         z = jax.random.normal(
             jax.random.fold_in(rng, step), (args.batch, generator.z_dim)
         )
@@ -115,7 +115,10 @@ def main(argv=None):
         step_rng = (
             jax.random.split(k_step, args.batch) if mesh is not None else k_step
         )
-        state, metrics = step_fn(state, real, z, c, step_rng)
+        # aug_p enters as an ARRAY: a python float would retrace the jit
+        # for every new ADA probability (it changes every ada_interval).
+        state, metrics = step_fn(state, real, z, c, step_rng,
+                                 jnp.asarray(aug_p, jnp.float32))
 
         if args.aug == "ada" and (step + 1) % config.ada_interval == 0:
             aug_p = adjust_ada_p(

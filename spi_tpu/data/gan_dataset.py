@@ -47,11 +47,13 @@ class ImageFolderDataset:
         )
         self._labels = self._load_labels(names)
         self._xflip = xflip
-        base = len(self._image_names)
-        size = base * (2 if xflip else 1)
-        if max_size is not None:
-            size = min(size, max_size)
-        self._size = size
+        # max_size truncates the RAW image list BEFORE xflip doubling
+        # (eg3d/training/dataset.py:45-49): with max_size applied after,
+        # flip indices >= max_size would silently drop the flipped
+        # variants of part of the dataset.
+        if max_size is not None and len(self._image_names) > max_size:
+            self._image_names = self._image_names[:max_size]
+        self._size = len(self._image_names) * (2 if xflip else 1)
 
     def _open(self, name: str):
         if self._zip is not None:

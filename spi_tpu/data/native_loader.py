@@ -26,7 +26,9 @@ def _repo_root() -> str:
 def load_library(build_if_missing: bool = True):
     """Load (and lazily build) native/libspi_io.so; None if unavailable."""
     global _LIB, _LIB_TRIED
-    if _LIB is not None or _LIB_TRIED and not build_if_missing:
+    # Short-circuit on ANY prior attempt: a failed build must not
+    # re-spawn `make` (120 s timeout) on every subsequent image load.
+    if _LIB is not None or _LIB_TRIED:
         return _LIB
     native_dir = os.path.join(_repo_root(), "native")
     so_path = os.path.join(native_dir, "libspi_io.so")
@@ -42,7 +44,10 @@ def load_library(build_if_missing: bool = True):
     try:
         lib = ctypes.CDLL(so_path)
     except OSError:
-        _LIB_TRIED = True
+        # Latch only if a build was possible: a build_if_missing=False
+        # probe should not block a later build-enabled call.
+        if build_if_missing:
+            _LIB_TRIED = True
         return None
 
     lib.spi_decode_image.restype = ctypes.c_int

@@ -181,12 +181,23 @@ class AugmentPipe:
 
         if self.brightness > 0:
             apply = self._gate(keys[13], p, self.brightness, n)
-            b = jnp.where(apply, jax.random.normal(keys[13], (n,)) * self.brightness_std, 0.0)
+            # magnitude key must differ from the gate key: uniform and
+            # normal on the SAME key consume identical bits, coupling the
+            # applied magnitude to the Bernoulli gate (one-sided aug).
+            b = jnp.where(
+                apply,
+                jax.random.normal(jax.random.fold_in(keys[13], 1), (n,))
+                * self.brightness_std,
+                0.0,
+            )
             t = jnp.zeros((n, 4, 4)).at[:, 0, 3].set(b).at[:, 1, 3].set(b).at[:, 2, 3].set(b)
             m = (jnp.eye(4)[None] + t) @ m
         if self.contrast > 0:
             apply = self._gate(keys[14], p, self.contrast, n)
-            cmul = jnp.exp2(jax.random.normal(keys[14], (n,)) * self.contrast_std)
+            cmul = jnp.exp2(
+                jax.random.normal(jax.random.fold_in(keys[14], 1), (n,))
+                * self.contrast_std
+            )
             cmul = jnp.where(apply, cmul, 1.0)
             diag = jnp.concatenate(
                 [jnp.tile(cmul[:, None], (1, 3)), jnp.ones((n, 1))], axis=1

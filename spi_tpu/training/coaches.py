@@ -21,6 +21,7 @@ single summed-gradient computation (mathematically identical).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any
 
 import jax
@@ -90,11 +91,21 @@ def tune_generator(
     box_cx_params=None,
 ):
     """Run the stage-2 loop. Returns (tuned_params, (steps_run, last_lpips))."""
-    s = settings
-    use_mirror_rot = (
-        s.mirror_rot_lambda > 0 and box_cx is not None and inputs.landmarks is not None
+    run = _build_tune_fn(generator, lpips, settings, box_cx)
+    return run(
+        g_params, original_g_params, lpips_params, box_cx_params,
+        inputs.target, inputs.camera, inputs.w_pivot,
+        inputs.face_mask, inputs.landmarks, rng,
     )
-    mask = trainable_mask(g_params)
+
+
+@functools.lru_cache(maxsize=16)
+def _build_tune_fn(generator: TriPlaneGenerator, lpips: LPIPS,
+                   settings: CoachSettings, box_cx: BoxCXLoss | None):
+    """Cached per (generator, lpips, settings, box_cx): the jitted
+    while_loop program takes minutes to compile and must be reused
+    across images, not re-traced per call."""
+    s = settings
     opt = optax.adam(s.learning_rate)
     depth_res = generator.neural_rendering_resolution
 
@@ -104,6 +115,10 @@ def tune_generator(
     @jax.jit
     def run(g_params, original_g_params, lpips_params, box_cx_params,
             target, camera, ws, face_mask, landmarks, rng):
+        use_mirror_rot = (
+            s.mirror_rot_lambda > 0 and box_cx is not None and landmarks is not None
+        )
+        mask = trainable_mask(g_params)
         camera_m = cam.mirror_camera(camera)
         image_m = jnp.flip(target, axis=3)
         weight_m = cam.cal_camera_weight(camera)[0]
@@ -259,8 +274,4 @@ def tune_generator(
         params_final, _, steps_run, last_lp = jax.lax.while_loop(cond_fn, body_fn, init)
         return params_final, (steps_run, last_lp)
 
-    return run(
-        g_params, original_g_params, lpips_params, box_cx_params,
-        inputs.target, inputs.camera, inputs.w_pivot,
-        inputs.face_mask, inputs.landmarks, rng,
-    )
+    return run

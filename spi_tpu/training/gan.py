@@ -72,6 +72,10 @@ class GANTrainer:
     generator: TriPlaneGenerator
     discriminator: DualDiscriminator
     config: GANConfig = GANConfig()
+    # ADA pipe: applied to BOTH real and generated pairs before D
+    # (upstream EG3D StyleGAN2Loss.run_D; the vendored reference strips
+    # training/loss.py, so upstream is the spec). None = no augmentation.
+    augment: Any = None
 
     # -- loss pieces -------------------------------------------------------
     def _g_images(self, g_params, z, c, rng):
@@ -79,9 +83,26 @@ class GANTrainer:
         k1, _ = jax.random.split(rng)
         return self.generator.synthesis(g_params, k1, ws, c, noise_mode="random"), ws
 
-    def g_loss(self, g_params, d_params, z, c, rng, step):
+    def _augment_pair(self, rng, image, image_raw, p):
+        """Apply the SAME per-sample augmentation to the full-res image
+        and the raw neural render (run_D augments the 6-channel concat so
+        one transform hits both; here the pipe's randomness is purely
+        per-sample, so replaying one rng at both resolutions is the same
+        joint transform)."""
+        if self.augment is None:
+            return image, image_raw
+        return (
+            self.augment(None, rng, image, p),
+            self.augment(None, rng, image_raw, p),
+        )
+
+    def g_loss(self, g_params, d_params, z, c, rng, step, aug_p=0.0):
         cfg = self.config
         out, ws = self._g_images(g_params, z, c, rng)
+        if self.augment is not None:
+            k_aug = jax.random.fold_in(rng, 2)
+            img, raw = self._augment_pair(k_aug, out["image"], out["image_raw"], aug_p)
+            out = {**out, "image": img, "image_raw": raw}
         logits = self.discriminator(d_params, out, c)
         loss = logistic_g_loss(logits)
 
@@ -97,7 +118,15 @@ class GANTrainer:
             dirs = jnp.zeros_like(pts)
             _, sigma_a = self.generator.sample_mixed(g_params, ws, pts, dirs)
             _, sigma_b = self.generator.sample_mixed(g_params, ws, pts + offset, dirs)
-            return jnp.mean(jnp.abs(sigma_a - sigma_b)) * cfg.density_reg
+            # lazy-regularization gain: the term runs every
+            # density_reg_interval steps and is scaled by that interval
+            # (training_loop passes gain=phase.interval; r1() below
+            # applies the same convention)
+            return (
+                jnp.mean(jnp.abs(sigma_a - sigma_b))
+                * cfg.density_reg
+                * cfg.density_reg_interval
+            )
 
         if cfg.density_reg > 0:
             # false branch derives from `loss` so both branches share the
@@ -107,31 +136,41 @@ class GANTrainer:
             )
         return loss, jax.lax.stop_gradient(jnp.mean(logits))
 
-    def d_loss(self, d_params, g_params, real, z, c, rng, step):
+    def d_loss(self, d_params, g_params, real, z, c, rng, step, aug_p=0.0):
         cfg = self.config
         out, _ = self._g_images(g_params, z, c, rng)
         out = jax.tree_util.tree_map(jax.lax.stop_gradient, out)
+        if self.augment is not None:
+            img, raw = self._augment_pair(
+                jax.random.fold_in(rng, 3), out["image"], out["image_raw"], aug_p
+            )
+            out = {**out, "image": img, "image_raw": raw}
         gen_logits = self.discriminator(d_params, out, c)
 
         real_raw = jax.lax.stop_gradient(
             _downsample_to(real, self.generator.neural_rendering_resolution)
         )
+        k_aug_real = jax.random.fold_in(rng, 4)
 
         def real_logits_fn(img_pair):
-            return jnp.sum(
-                self.discriminator(
-                    d_params, {"image": img_pair[0], "image_raw": img_pair[1]}, c
-                )
+            # Augmentation INSIDE: R1 penalizes gradients w.r.t. the raw
+            # real images, flowing through the (differentiable) pipe —
+            # matching upstream's run_D on a requires_grad real batch.
+            image, image_raw = self._augment_pair(
+                k_aug_real, img_pair[0], img_pair[1], aug_p
+            )
+            return self.discriminator(
+                d_params, {"image": image, "image_raw": image_raw}, c
             )
 
-        real_logits = self.discriminator(
-            d_params, {"image": real, "image_raw": real_raw}, c
-        )
+        real_logits = real_logits_fn((real, real_raw))
         loss = logistic_d_loss(real_logits, gen_logits)
 
         def r1():
             # lazy R1 on both inputs of the dual discriminator
-            grads = jax.grad(real_logits_fn)((real, real_raw))
+            grads = jax.grad(lambda pair: jnp.sum(real_logits_fn(pair)))(
+                (real, real_raw)
+            )
             penalty = sum(jnp.sum(jnp.square(g), axis=(1, 2, 3)) for g in grads)
             return jnp.mean(penalty) * (cfg.r1_gamma / 2) * cfg.r1_interval
 
@@ -175,11 +214,11 @@ class GANTrainer:
         g_opt, d_opt = self.optimizers()
         cfg = self.config
 
-        def step_impl(state, real, z, c, rng, axis_name=None):
+        def step_impl(state, real, z, c, rng, aug_p, axis_name=None):
             kd, kg = jax.random.split(jax.random.fold_in(rng, state["step"]))
 
             (d_l, rt), d_grads = jax.value_and_grad(self.d_loss, has_aux=True)(
-                state["d"], state["g"], real, z, c, kd, state["step"]
+                state["d"], state["g"], real, z, c, kd, state["step"], aug_p
             )
             if axis_name is not None:
                 d_grads = jax.lax.pmean(d_grads, axis_name)
@@ -188,7 +227,7 @@ class GANTrainer:
             d_params = optax.apply_updates(state["d"], d_updates)
 
             (g_l, fake_score), g_grads = jax.value_and_grad(self.g_loss, has_aux=True)(
-                state["g"], d_params, z, c, kg, state["step"]
+                state["g"], d_params, z, c, kg, state["step"], aug_p
             )
             if axis_name is not None:
                 g_grads = jax.lax.pmean(g_grads, axis_name)
@@ -213,7 +252,11 @@ class GANTrainer:
             return new_state, metrics
 
         if mesh is None:
-            return jax.jit(partial(step_impl, axis_name=None))
+
+            def local_step(state, real, z, c, rng, aug_p=0.0):
+                return step_impl(state, real, z, c, rng, aug_p, axis_name=None)
+
+            return jax.jit(local_step)
 
         from jax.sharding import PartitionSpec as P
 
@@ -223,13 +266,16 @@ class GANTrainer:
         @partial(
             jax.shard_map,
             mesh=mesh,
-            in_specs=(replicated, sharded, sharded, sharded, sharded),
+            in_specs=(replicated, sharded, sharded, sharded, sharded, replicated),
             out_specs=(replicated, replicated),
         )
-        def sharded_step(state, real, z, c, rng):
-            return step_impl(state, real, z, c, rng[0], axis_name="data")
+        def sharded_step(state, real, z, c, rng, aug_p):
+            return step_impl(state, real, z, c, rng[0], aug_p, axis_name="data")
 
-        return jax.jit(sharded_step)
+        def entry(state, real, z, c, rng, aug_p=0.0):
+            return sharded_step(state, real, z, c, rng, jnp.asarray(aug_p, jnp.float32))
+
+        return jax.jit(entry)
 
 
 def _downsample_to(img, size: int):

@@ -9,6 +9,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import time
+import zlib
 from typing import Any
 
 import jax
@@ -172,7 +173,11 @@ class InversionPipeline:
     def invert_image(self, sample: InversionSample) -> dict[str, Any]:
         cfg = self.config
         rng = jax.random.PRNGKey(cfg.seed)
-        k_proj, k_tune = jax.random.split(jax.random.fold_in(rng, hash(sample.name) % (2**31)))
+        # Stable digest: Python's hash() is salted per process
+        # (PYTHONHASHSEED), which would make per-image randomness — and
+        # thus inversions — irreproducible across runs at a fixed seed.
+        name_digest = zlib.crc32(sample.name.encode()) & 0x7FFFFFFF
+        k_proj, k_tune = jax.random.split(jax.random.fold_in(rng, name_digest))
 
         image = jnp.asarray(sample.image)
         camera = jnp.asarray(sample.camera)
@@ -224,8 +229,8 @@ class InversionPipeline:
 
         result = self.post_process(sample.name, w_pivot, camera, g_params)
         result.update(
-            stage1_s=t_stage1, stage2_s=t_stage2,
-            steps_run=int(steps_run), image=sample.image,
+            name=sample.name, stage1_s=t_stage1, stage2_s=t_stage2,
+            steps_run=int(steps_run),
         )
 
         # Metrics vs target (+ mirrored) like base_coach.cal_metric.
@@ -237,17 +242,26 @@ class InversionPipeline:
         )
         self.metric_log.add("G1_inv", m, m_m)
         result["metrics"] = {**m, **{f"{k}_m": v for k, v in m_m.items()}}
+        # Artifacts are on disk (post_process); don't accumulate full-res
+        # image arrays in the returned list — a 3000-image run would hold
+        # tens of GB of host memory otherwise.
+        result.pop("final_image")
+        result.pop("final_image_m")
         return result
 
     # ------------------------------------------------------------------
     def render(self, g_params, w, c):
-        @jax.jit
-        def _render(g_params, w, c):
-            return self.generator.synthesis(
-                g_params, jax.random.PRNGKey(0), w, c, noise_mode="const"
-            )["image"]
+        fn = getattr(self, "_render_jit", None)
+        if fn is None:
+            # cached on the instance: a fresh jit closure per call would
+            # recompile the full synthesis for every render.
+            def _render(g_params, w, c):
+                return self.generator.synthesis(
+                    g_params, jax.random.PRNGKey(0), w, c, noise_mode="const"
+                )["image"]
 
-        return _render(g_params, w, c)
+            fn = self._render_jit = jax.jit(_render)
+        return fn(g_params, w, c)
 
     def post_process(self, name: str, w, c, g_params) -> dict[str, Any]:
         """Save {w, c, G} + image + mirrored image (base_coach.py:219-226)."""

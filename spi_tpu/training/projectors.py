@@ -20,6 +20,7 @@ XLA program.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Any
 
@@ -49,18 +50,25 @@ class ProjectorSettings:
     regularize_noise_weight: float = 1e5
 
 
+@functools.lru_cache(maxsize=16)
+def _mapping_head_fn(generator: TriPlaneGenerator):
+    # Cached per generator config: a fresh jax.jit(closure) per call
+    # would recompile the mapping network for every image.
+    @jax.jit
+    def run(g_params, z, c):
+        ws = generator.mapping(g_params, z, c)
+        return ws[:, :1, :]
+
+    return run
+
+
 def compute_w_stats(generator: TriPlaneGenerator, g_params, camera, n_samples: int):
     """w_avg / w_std from fixed-seed z samples (w_projector.py:34-40;
     RandomState(123) kept for parity with the reference)."""
     z = np.random.RandomState(123).randn(n_samples, generator.z_dim).astype(np.float32)
     c = jnp.broadcast_to(camera[:1], (n_samples, camera.shape[-1]))
 
-    @jax.jit
-    def run(g_params, z, c):
-        ws = generator.mapping(g_params, z, c)
-        return ws[:, :1, :]
-
-    w_samples = run(g_params, jnp.asarray(z), c)
+    w_samples = _mapping_head_fn(generator)(g_params, jnp.asarray(z), c)
     w_avg = jnp.mean(w_samples, axis=0, keepdims=True)  # (1, 1, C)
     w_std = float(jnp.sqrt(jnp.sum(jnp.square(w_samples - w_avg)) / n_samples))
     return w_avg, w_std
@@ -103,7 +111,7 @@ def project(
     camera,  # (1, 25)
     rng,
     settings: ProjectorSettings = ProjectorSettings(),
-    fg_mask=None,  # (1, 1, R, R), only used by 'mir'
+    fg_mask=None,  # accepted for reference-signature parity; see below
     initial_w=None,
 ):
     """Run stage-1 projection. Returns (w_pivot (1, num_ws, C), noise_tree).
@@ -111,6 +119,12 @@ def project(
     The returned noise tree holds the OPTIMIZED noise_const buffers; the
     stage-2 coach must render with them (the reference mutates G's
     buffers in place, so stage 2 inherits them implicitly).
+
+    `fg_mask` intentionally has no effect: the reference's mirror
+    projector derives a dilated-background depth prior from it
+    (mirror_projector.py:74-79,117-118) but never adds that `bg_loss`
+    to the optimized loss (:120), so parity means accepting and
+    ignoring it.
     """
     num_ws = generator.num_ws
     w_avg, w_std = compute_w_stats(generator, g_params, camera, settings.w_avg_samples)
@@ -124,6 +138,21 @@ def project(
         w0 = (
             jnp.tile(w_avg, (1, num_ws, 1)) if initial_w is None else initial_w
         )  # (1, L, C)
+
+    run = _build_project_fn(generator, lpips, settings)
+    return run(
+        g_params, lpips_params, target, camera, w0, noise0,
+        jnp.float32(w_std), rng_steps,
+    )
+
+
+@functools.lru_cache(maxsize=16)
+def _build_project_fn(generator: TriPlaneGenerator, lpips: LPIPS,
+                      settings: ProjectorSettings):
+    """Cached per (generator, lpips, settings): the jitted 500-step scan
+    takes minutes to compile, and a fresh closure per image would repeat
+    that compile for every image in a run."""
+    num_ws = generator.num_ws
 
     # ALL arrays enter the jitted program as ARGUMENTS: anything captured
     # by closure becomes an XLA constant, and XLA then constant-folds the
@@ -200,7 +229,4 @@ def project(
             w = jnp.tile(w, (1, num_ws, 1))
         return w, params_final["noise"], dists
 
-    return run(
-        g_params, lpips_params, target, camera, w0, noise0,
-        jnp.float32(w_std), rng_steps,
-    )
+    return run

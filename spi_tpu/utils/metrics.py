@@ -7,6 +7,7 @@ base_coach.py:141-198.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any
 
 import jax
@@ -28,19 +29,25 @@ class Metric:
 
     def run(self, params, gt, fake) -> dict[str, Any]:
         """gt, fake: (1, 3, R, R) in [-1, 1]. Returns python floats."""
-
-        @jax.jit
-        def _run(params, gt, fake):
-            l2 = l2_loss(gt, fake)
-            lp = self.lpips(params["lpips"], gt, fake)
-            # ID loss crops assume 256^2 inputs (id_loss.py:17-21)
-            gt256 = _to256(gt)
-            fake256 = _to256(fake)
-            id_sim = self.id_loss.similarity(params["id"], gt256, fake256)[0]
-            return l2, lp, id_sim
-
-        l2, lp, id_sim = _run(params, gt, fake)
+        l2, lp, id_sim = _metric_fn(self)(params, gt, fake)
         return {"l2": float(l2), "lpips": float(lp), "id": float(id_sim)}
+
+
+@functools.lru_cache(maxsize=4)
+def _metric_fn(metric: Metric):
+    # Cached per Metric config: a fresh jit closure per run() call would
+    # recompile the VGG+ArcFace stacks for every image.
+    @jax.jit
+    def _run(params, gt, fake):
+        l2 = l2_loss(gt, fake)
+        lp = metric.lpips(params["lpips"], gt, fake)
+        # ID loss crops assume 256^2 inputs (id_loss.py:17-21)
+        gt256 = _to256(gt)
+        fake256 = _to256(fake)
+        id_sim = metric.id_loss.similarity(params["id"], gt256, fake256)[0]
+        return l2, lp, id_sim
+
+    return _run
 
 
 def _to256(x):

@@ -7,6 +7,7 @@ available (gated — ffmpeg is not guaranteed in every environment).
 
 from __future__ import annotations
 
+import functools
 import os
 
 import numpy as np
@@ -16,6 +17,20 @@ import jax.numpy as jnp
 
 from spi_tpu.utils import camera as cam
 from spi_tpu.utils.image import tensor2im
+
+
+@functools.lru_cache(maxsize=8)
+def _orbit_render_fn(generator):
+    # Cached per generator config: re-jitting per video would recompile
+    # the full synthesis for every exported orbit.
+    @jax.jit
+    def render(g_params, w, c):
+        ws = jnp.broadcast_to(w, (c.shape[0],) + w.shape[1:])
+        return generator.synthesis(
+            g_params, jax.random.PRNGKey(0), ws, c, noise_mode="const"
+        )["image"]
+
+    return render
 
 
 def render_orbit_frames(generator, g_params, w, num_frames: int = 60,
@@ -30,13 +45,7 @@ def render_orbit_frames(generator, g_params, w, num_frames: int = 60,
         pitch = pitch_amplitude * math.cos(2 * math.pi * t)
         cams.append(cam.canonical_camera(yaw=yaw, pitch=pitch))
     cams = jnp.concatenate(cams, axis=0)
-
-    @jax.jit
-    def render(g_params, w, c):
-        ws = jnp.broadcast_to(w, (c.shape[0],) + w.shape[1:])
-        return generator.synthesis(
-            g_params, jax.random.PRNGKey(0), ws, c, noise_mode="const"
-        )["image"]
+    render = _orbit_render_fn(generator)
 
     frames = []
     for i in range(0, num_frames, batch):
