@@ -51,6 +51,11 @@ def parse_args(argv=None):
     parser.add_argument("--select_range", type=int, default=None)
     parser.add_argument("--filter_index", type=str, default=None, help="1,2,3")
     parser.add_argument("--save_video", action="store_true", default=False)
+    parser.add_argument("--parallel_images", type=int, default=1,
+                        help="invert N images per SPMD program, image axis "
+                             "sharded across the device mesh (TPU-native "
+                             "replacement for the reference's dataset_block "
+                             "+ one-process-per-GPU fan-out)")
     parser.add_argument("--fp32", action="store_true", default=False,
                         help="disable the bfloat16 compute path (slower, "
                              "reference-exact numerics)")
@@ -95,6 +100,7 @@ def main(argv=None):
         load_embedding_coach_name=args.load_embedding_coach_name,
         description=args.description,
         save_video=args.save_video,
+        parallel_images=args.parallel_images,
     )
 
     dataset = PTIDataset(

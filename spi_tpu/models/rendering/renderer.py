@@ -146,6 +146,13 @@ def sample_pdf(rng, bins, weights, n_importance: int, det: bool = False, eps: fl
     Returns (R, n_importance).
     """
     r, n_bins_w = weights.shape
+    if n_bins_w == 0:
+        # Degenerate toy configs (depth_resolution <= 3) trim the smoothed
+        # weights to nothing; fall back to a uniform pdf over the actual
+        # bin segments so the inverse CDF stays well-defined.
+        n_bins_w = bins.shape[1] - 1
+        assert n_bins_w >= 1, f"need >= 2 bins, got {bins.shape}"
+        weights = jnp.ones((r, n_bins_w), bins.dtype)
     weights = weights + eps
     pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
     cdf = jnp.cumsum(pdf, axis=-1)

@@ -17,7 +17,6 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from spi_tpu.criteria.l2_loss import l2_loss
 from spi_tpu.criteria.lpips import LPIPS
 from spi_tpu.models.triplane import TriPlaneGenerator
 
@@ -40,48 +39,90 @@ def replicate(mesh: Mesh, tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 
-def batched_tuning_step(
+def stack_trees(trees):
+    """Stack a list of same-structure pytrees along a new leading axis."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def index_tree(tree, i: int):
+    """Slice image i out of a leading-batch-axis pytree."""
+    return jax.tree_util.tree_map(lambda x: x[i], tree)
+
+
+def spmd_invert(
     generator: TriPlaneGenerator,
     lpips: LPIPS,
     mesh: Mesh,
+    proj_settings,
+    coach_settings,
+    box_cx=None,
     axis: str = "data",
 ):
-    """Build a jitted SPMD step: one reconstruction-gradient Adam-free SGD
-    update for B images at once, B sharded over the mesh.
+    """Build THE jitted SPMD inversion program: the real stage-1
+    projector `lax.scan` followed by the real stage-2 tuning
+    `lax.while_loop`, vmapped over a leading image axis and sharded
+    across the mesh's data dimension.
 
-    Inputs of the returned fn:
-      g_params_b : generator pytree with leading axis B (per-image replicas)
-      lpips_params : replicated
-      ws (B, L, C), images (B, 3, R, R), cameras (B, 25), rngs (B, 2)
-    Returns: (updated g_params_b, mean loss across the mesh).
+    This is the TPU-native replacement for the reference's shell-level
+    fan-out (spi/data/images_dataset.py:149-158 `dataset_block` +
+    one CUDA_VISIBLE_DEVICES process per shard, README.md:52,61): B
+    images enter as one program, every image gets its own generator
+    replica (stage 2 tunes per-image weights), and devices run their
+    shard of images with zero cross-device communication — exactly the
+    collective footprint the problem has.
+
+    The stage-2 while_loop early-stops per image; under vmap the loop
+    runs until every lane's cond is false, and finished lanes are exact
+    no-ops (see coaches.body_fn `active` gating), so per-image results
+    match the serial path bit-for-bit.
+
+    Inputs of the returned fn (None where unused):
+      g_params     : pretrained generator pytree (replicated)
+      lpips_params, box_cx_params : replicated
+      targets (B, 3, R, R), cameras (B, 25), w0s (B, 1|L, C),
+      noise0s (B-leading noise tree), w_stds (B,),
+      rng_projs (B, key), rng_tunes (B, key)  — the SAME per-image keys
+        the serial InversionPipeline derives, so per-image results match
+        the serial path exactly
+      face_masks (B, 1, R, R) | None, landmarks (B, 68, 2) | None
+    Returns per-image (B-leading): (w_pivot, stage-1 noise tree,
+      tuned_g_params, steps_run, last_lpips, stage1 dists (B, num_steps)).
     """
+    from spi_tpu.training import coaches, projectors
+    from spi_tpu.utils.params import replace_noise
 
-    def per_image_step(g_params, lpips_params, ws, image, camera, rng):
-        def loss_fn(p):
-            out = generator.synthesis(
-                p, rng, ws[None], camera[None], noise_mode="const"
-            )
-            img = out["image"]
-            return l2_loss(img, image[None]) + lpips(lpips_params, img, image[None])
+    proj_run = projectors._build_project_fn(generator, lpips, proj_settings)
+    tune_run = coaches._build_tune_fn(generator, lpips, coach_settings, box_cx)
 
-        loss, grads = jax.value_and_grad(loss_fn)(g_params)
-        new_params = jax.tree_util.tree_map(
-            lambda p, g: p - 3e-4 * g, g_params, grads
+    def per_image(g_params, lpips_params, box_cx_params, target, camera,
+                  w0, noise0, w_std, rng_proj, rng_tune, face_mask, landmarks):
+        w, noise, dists = proj_run(
+            g_params, lpips_params, target, camera, w0, noise0, w_std, rng_proj
         )
-        return new_params, loss
+        # Stage 2 renders with the stage-1 noise buffers substituted
+        # (the reference mutates G's buffers in place during stage 1).
+        g = replace_noise(g_params, noise)
+        tuned, (steps, lp) = tune_run(
+            g, g_params, lpips_params, box_cx_params,
+            target, camera, w, face_mask, landmarks, rng_tune,
+        )
+        return w, noise, tuned, steps, lp, dists
 
-    def sharded_step(g_params_b, lpips_params, ws_b, images_b, cameras_b, rngs_b):
-        new_params, losses = jax.vmap(
-            per_image_step, in_axes=(0, None, 0, 0, 0, 0)
-        )(g_params_b, lpips_params, ws_b, images_b, cameras_b, rngs_b)
-        mean_loss = jax.lax.pmean(jnp.mean(losses), axis_name=axis)
-        return new_params, mean_loss
+    def sharded(g_params, lpips_params, box_cx_params, targets, cameras,
+                w0s, noise0s, w_stds, rng_projs, rng_tunes, face_masks, landmarks):
+        return jax.vmap(
+            per_image,
+            in_axes=(None, None, None, 0, 0, 0, 0, 0, 0, 0,
+                     0 if face_masks is not None else None,
+                     0 if landmarks is not None else None),
+        )(g_params, lpips_params, box_cx_params, targets, cameras,
+          w0s, noise0s, w_stds, rng_projs, rng_tunes, face_masks, landmarks)
 
     wrapped = jax.shard_map(
-        sharded_step,
+        sharded,
         mesh=mesh,
-        in_specs=(P(axis), P(), P(axis), P(axis), P(axis), P(axis)),
-        out_specs=(P(axis), P()),
+        in_specs=(P(), P(), P()) + (P(axis),) * 9,
+        out_specs=(P(axis),) * 6,
     )
     return jax.jit(wrapped)
 

@@ -246,7 +246,14 @@ def _build_tune_fn(generator: TriPlaneGenerator, lpips: LPIPS,
             return (step < s.num_steps) & (lp > s.lpips_threshold)
 
         def body_fn(carry):
-            params, opt_state, step, _ = carry
+            params, opt_state, step, lp_prev = carry
+            # Per-lane activity flag: identical to cond_fn, so a scalar
+            # run always has active=True. Under vmap (SPMD multi-image
+            # inversion) the while_loop keeps iterating until EVERY lane's
+            # cond is false; gating the update AND the step counter on the
+            # lane's own cond makes extra iterations exact no-ops for
+            # finished images.
+            active = (step < s.num_steps) & (lp_prev > s.lpips_threshold)
             step_rng = jax.random.fold_in(rng, step)
             (_, lp), grads = jax.value_and_grad(total_loss, has_aux=True)(
                 params, step, step_rng
@@ -259,7 +266,7 @@ def _build_tune_fn(generator: TriPlaneGenerator, lpips: LPIPS,
                 lambda m, u: u if m else jnp.zeros_like(u), mask, updates,
                 is_leaf=lambda v: isinstance(v, bool),
             )
-            apply = lp > s.lpips_threshold
+            apply = active & (lp > s.lpips_threshold)
 
             def do_apply():
                 return optax.apply_updates(params, updates), new_opt_state
@@ -268,7 +275,11 @@ def _build_tune_fn(generator: TriPlaneGenerator, lpips: LPIPS,
                 return params, opt_state
 
             params2, opt_state2 = jax.lax.cond(apply, do_apply, skip)
-            return params2, opt_state2, step + 1, lp
+            return (
+                params2, opt_state2,
+                step + active.astype(step.dtype),
+                jnp.where(active, lp, lp_prev),
+            )
 
         init = (g_params, opt_state, jnp.array(0, jnp.int32), jnp.array(jnp.inf))
         params_final, _, steps_run, last_lp = jax.lax.while_loop(cond_fn, body_fn, init)

@@ -52,6 +52,11 @@ class PipelineConfig:
     description: str | None = None
     seed: int = 0
     save_video: bool = False
+    # SPMD multi-image inversion: invert N images in ONE sharded program,
+    # image axis split across the device mesh (the TPU-native replacement
+    # for the reference's dataset_block + one-process-per-GPU fan-out,
+    # images_dataset.py:149-158). 1 = serial.
+    parallel_images: int = 1
     # compute dtype for the LPIPS VGG stack (the generator's own
     # compute_dtype lives on TriPlaneGenerator); 'bfloat16' halves the
     # perceptual-loss cost on TPU
@@ -170,14 +175,18 @@ class InversionPipeline:
         return w, noise
 
     # ------------------------------------------------------------------
+    def _image_keys(self, name: str):
+        """Per-image (k_proj, k_tune). Stable digest: Python's hash() is
+        salted per process (PYTHONHASHSEED), which would make per-image
+        randomness — and thus inversions — irreproducible across runs at
+        a fixed seed."""
+        rng = jax.random.PRNGKey(self.config.seed)
+        name_digest = zlib.crc32(name.encode()) & 0x7FFFFFFF
+        return jax.random.split(jax.random.fold_in(rng, name_digest))
+
     def invert_image(self, sample: InversionSample) -> dict[str, Any]:
         cfg = self.config
-        rng = jax.random.PRNGKey(cfg.seed)
-        # Stable digest: Python's hash() is salted per process
-        # (PYTHONHASHSEED), which would make per-image randomness — and
-        # thus inversions — irreproducible across runs at a fixed seed.
-        name_digest = zlib.crc32(sample.name.encode()) & 0x7FFFFFFF
-        k_proj, k_tune = jax.random.split(jax.random.fold_in(rng, name_digest))
+        k_proj, k_tune = self._image_keys(sample.name)
 
         image = jnp.asarray(sample.image)
         camera = jnp.asarray(sample.camera)
@@ -227,13 +236,20 @@ class InversionPipeline:
             g_params = tuned
         t_stage2 = time.time() - t0
 
-        result = self.post_process(sample.name, w_pivot, camera, g_params)
-        result.update(
-            name=sample.name, stage1_s=t_stage1, stage2_s=t_stage2,
-            steps_run=int(steps_run),
+        return self._finalize_image(
+            sample.name, w_pivot, camera, image, g_params,
+            t_stage1, t_stage2, steps_run,
         )
 
-        # Metrics vs target (+ mirrored) like base_coach.cal_metric.
+    def _finalize_image(self, name, w_pivot, camera, image, g_params,
+                        t_stage1, t_stage2, steps_run) -> dict[str, Any]:
+        """Shared per-image tail: artifacts + metrics (+ mirrored) like
+        base_coach.cal_metric / post_process."""
+        result = self.post_process(name, w_pivot, camera, g_params)
+        result.update(
+            name=name, stage1_s=t_stage1, stage2_s=t_stage2,
+            steps_run=int(steps_run),
+        )
         m = self.metric.run(self.metric_params, image, result["final_image"])
         camera_m = cam.mirror_camera(camera)
         fake_m = self.render(g_params, w_pivot, camera_m)
@@ -248,6 +264,95 @@ class InversionPipeline:
         result.pop("final_image")
         result.pop("final_image_m")
         return result
+
+    # ------------------------------------------------------------------
+    def invert_batch(self, samples: list[InversionSample]) -> list[dict]:
+        """Invert B images in ONE SPMD program (config.parallel_images).
+
+        The image axis is sharded across the device mesh; per-image
+        randomness uses the same keys as the serial path, so results
+        match invert_image up to fp reassociation. The embedding cache
+        is written (not read) on this path.
+        """
+        from spi_tpu.parallel import mesh as pmesh
+        from spi_tpu.utils.params import init_noise_like
+
+        cfg = self.config
+        b = len(samples)
+        ndev = len(jax.devices())
+        d = max(k for k in range(1, min(ndev, b) + 1) if b % k == 0)
+        mesh = pmesh.data_mesh(d)
+
+        proj_settings = self.projector_settings()
+        coach_settings = self.coach_settings(0.2)
+        have_mask = all(s.mask is not None for s in samples)
+        have_lm = all(s.landmarks is not None for s in samples)
+        use_boxcx = (
+            have_mask and have_lm and cfg.G_1_type == "RotBbox"
+            and cfg.pt_mirror_rot_lambda > 0
+        )
+
+        targets, cameras, w0s, noise0s = [], [], [], []
+        w_stds, rng_projs, rng_tunes, fmasks, lms = [], [], [], [], []
+        for s in samples:
+            image = jnp.asarray(s.image)
+            camera = jnp.asarray(s.camera)
+            k_proj, k_tune = self._image_keys(s.name)
+            # identical key split to projectors.project
+            k_noise, k_steps = jax.random.split(k_proj)
+            noise0s.append(init_noise_like(k_noise, self.g_params0))
+            w_avg, w_std = projectors.compute_w_stats(
+                self.generator, self.g_params0, camera, proj_settings.w_avg_samples
+            )
+            w0 = (
+                w_avg if proj_settings.mode == "sg"
+                else jnp.tile(w_avg, (1, self.generator.num_ws, 1))
+            )
+            targets.append(image)
+            cameras.append(camera)
+            w0s.append(w0)
+            w_stds.append(jnp.float32(w_std))
+            rng_projs.append(k_steps)
+            rng_tunes.append(k_tune)
+            if have_mask:
+                fmasks.append(jnp.asarray(face_mask_from_parsing(s.mask)))
+            if have_lm:
+                lms.append(jnp.asarray(s.landmarks))
+
+        run = pmesh.spmd_invert(
+            self.generator, self.lpips, mesh, proj_settings, coach_settings,
+            box_cx=self.box_cx if use_boxcx else None,
+        )
+        t0 = time.time()
+        w_b, noise_b, g_b, steps_b, lp_b, _dists = run(
+            self.g_params0, self.lpips_params,
+            self.box_cx_params if use_boxcx else None,
+            jnp.stack(targets), jnp.stack(cameras), jnp.stack(w0s),
+            pmesh.stack_trees(noise0s), jnp.stack(w_stds),
+            jnp.stack(rng_projs), jnp.stack(rng_tunes),
+            jnp.stack(fmasks) if have_mask else None,
+            jnp.stack(lms) if have_lm else None,
+        )
+        jax.block_until_ready(w_b)
+        per_image_s = (time.time() - t0) / b
+
+        results = []
+        for i, s in enumerate(samples):
+            w = w_b[i]
+            noise = pmesh.index_tree(noise_b, i)
+            g_params = pmesh.index_tree(g_b, i)
+            payload = {"w": np.asarray(w)}
+            payload.update({f"noise/{k}": np.asarray(v) for k, v in noise.items()})
+            np.savez(
+                os.path.join(self.dirs["embedding"], f"{s.name}.npz"), **payload
+            )
+            results.append(
+                self._finalize_image(
+                    s.name, w, jnp.asarray(s.camera), jnp.asarray(s.image),
+                    g_params, per_image_s, 0.0, int(steps_b[i]),
+                )
+            )
+        return results
 
     # ------------------------------------------------------------------
     def render(self, g_params, w, c):
@@ -285,10 +390,24 @@ class InversionPipeline:
     # ------------------------------------------------------------------
     def run(self, dataset) -> list[dict]:
         results = []
-        for i, sample in enumerate(dataset):
-            if i >= self.config.max_images_to_invert:
-                break
-            results.append(self.invert_image(sample))
+        if self.config.parallel_images > 1:
+            batch: list[InversionSample] = []
+            n_total = 0
+            for sample in dataset:
+                if n_total >= self.config.max_images_to_invert:
+                    break
+                batch.append(sample)
+                n_total += 1
+                if len(batch) == self.config.parallel_images:
+                    results.extend(self.invert_batch(batch))
+                    batch = []
+            if batch:
+                results.extend(self.invert_batch(batch))
+        else:
+            for i, sample in enumerate(dataset):
+                if i >= self.config.max_images_to_invert:
+                    break
+                results.append(self.invert_image(sample))
         header = (
             f"Coach name: {self.config.coach_name}\n"
             f"first_inv_type: {self.config.first_inv_type}\n"
