@@ -51,6 +51,10 @@ def parse_args(argv=None):
     parser.add_argument("--select_range", type=int, default=None)
     parser.add_argument("--filter_index", type=str, default=None, help="1,2,3")
     parser.add_argument("--save_video", action="store_true", default=False)
+    parser.add_argument("--log_snapshot", type=int, default=0,
+                        help="save the in-progress reconstruction every N "
+                             "tuning steps (reference global_config.py:7 "
+                             "uses 100); 0 = off")
     parser.add_argument("--parallel_images", type=int, default=1,
                         help="invert N images per SPMD program, image axis "
                              "sharded across the device mesh (TPU-native "
@@ -59,6 +63,10 @@ def parse_args(argv=None):
     parser.add_argument("--fp32", action="store_true", default=False,
                         help="disable the bfloat16 compute path (slower, "
                              "reference-exact numerics)")
+    parser.add_argument("--tiny", action="store_true", default=False,
+                        help="scaled-down generator (128^2, 4+4 depth "
+                             "samples) for smoke runs / CI; implies the "
+                             "dataset is resized to match")
     return parser.parse_args(argv)
 
 
@@ -71,9 +79,16 @@ def main(argv=None):
     from spi_tpu.models.triplane import ffhq512_128_config
     from spi_tpu.training.pipeline import InversionPipeline, PipelineConfig
 
-    generator = ffhq512_128_config(
-        compute_dtype="float32" if args.fp32 else "bfloat16"
-    )
+    if args.tiny:
+        from spi_tpu.models.triplane import tiny_test_config
+
+        generator = tiny_test_config(
+            compute_dtype="float32" if args.fp32 else "bfloat16"
+        )
+    else:
+        generator = ffhq512_128_config(
+            compute_dtype="float32" if args.fp32 else "bfloat16"
+        )
     if args.random_init:
         g_params = generator.init(jax.random.PRNGKey(0))
         perception = None
@@ -101,6 +116,7 @@ def main(argv=None):
         description=args.description,
         save_video=args.save_video,
         parallel_images=args.parallel_images,
+        log_snapshot=args.log_snapshot,
     )
 
     dataset = PTIDataset(
@@ -113,6 +129,7 @@ def main(argv=None):
         dataset_block=args.dataset_block,
         select_range=args.select_range,
         filter_index=args.filter_index.split(",") if args.filter_index else None,
+        size=generator.img_resolution,
     )
 
     pipeline = InversionPipeline(generator, g_params, config, perception)

@@ -205,6 +205,77 @@ def convert_torchvision_vgg(arch: str, dst: str, weights_path: str | None = None
     return out
 
 
+# NVIDIA torchscript vgg16.pt layer names -> torchvision `features` indices
+_NV_VGG16_INDEX = {
+    "conv1_1": 0, "conv1_2": 2,
+    "conv2_1": 5, "conv2_2": 7,
+    "conv3_1": 10, "conv3_2": 12, "conv3_3": 14,
+    "conv4_1": 17, "conv4_2": 19, "conv4_3": 21,
+    "conv5_1": 24, "conv5_2": 26, "conv5_3": 28,
+}
+_LPIPS_CHANNELS = (64, 128, 256, 512, 512)
+
+
+def map_nvidia_vgg16_names(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """NVIDIA torchscript vgg16.pt state_dict -> spi_tpu LPIPS pytree
+    layout ({'features.{i}.weight/bias', 'lin.{l}'}).
+
+    The torchscript model (w_projector.py:30 `vgg16.pt`,
+    `return_lpips=True`) carries the 13 VGG16 convs under conv{b}_{i}
+    names plus five 1x1 LPIPS lin heads; its LPIPS embedding is the
+    unit-normalized activations scaled by sqrt(lin)/sqrt(H*W), so the
+    converted weights drop into `LPIPS`/`vgg_feature_distance` directly.
+    """
+    out: dict[str, np.ndarray] = {}
+    lin_by_order: list[np.ndarray] = []
+    for name, value in flat.items():
+        arr = np.asarray(value, np.float32)
+        matched = False
+        for conv, idx in _NV_VGG16_INDEX.items():
+            if conv in name and name.endswith((".weight", ".bias")):
+                kind = name.rsplit(".", 1)[1]
+                # lin heads reuse conv names in some exports; a (1,C,1,1)
+                # weight is a lin head, a 4-d (Cout,Cin,3,3) is the conv
+                if kind == "weight" and arr.ndim == 4 and arr.shape[0] == 1 \
+                        and arr.shape[2:] == (1, 1):
+                    lin_by_order.append(arr.reshape(-1))
+                else:
+                    out[f"features.{idx}.{kind}"] = arr
+                matched = True
+                break
+        if matched:
+            continue
+        if ("lin" in name or "lpips" in name) and name.endswith(".weight"):
+            lin_by_order.append(arr.reshape(-1))
+    if len(lin_by_order) == len(_LPIPS_CHANNELS) and all(
+        v.shape[0] == c for v, c in zip(lin_by_order, _LPIPS_CHANNELS)
+    ):
+        for i, v in enumerate(lin_by_order):
+            out[f"lin.{i}"] = v
+    missing = [
+        f"features.{i}.weight" for i in _NV_VGG16_INDEX.values()
+        if f"features.{i}.weight" not in out
+    ]
+    if missing:
+        raise ValueError(f"vgg16.pt conversion missing conv weights: {missing}")
+    return out
+
+
+def convert_nvidia_vgg16(src: str, dst: str):
+    """Convert the NVIDIA torchscript `vgg16.pt` (StyleGAN projector
+    oracle, w_projector.py:30) to the spi_tpu LPIPS pytree npz."""
+    import torch
+
+    model = torch.jit.load(src, map_location="cpu")
+    flat = {
+        k: v.detach().float().cpu().numpy() for k, v in model.state_dict().items()
+    }
+    out = map_nvidia_vgg16_names(flat)
+    np.savez(dst, **out)
+    print(f"wrote {len(out)} arrays to {dst}")
+    return out
+
+
 def convert_clip(src: str, dst: str):
     """OpenAI CLIP release checkpoints (ViT-B-32.pt / ViT-B-16.pt /
     RN50.pt) are torchscript archives with fp16 weights
@@ -242,6 +313,8 @@ def main(argv=None):
         convert_torchvision_vgg(kind, dst, weights_path=src if src != "-" else None)
     elif kind == "clip":
         convert_clip(src, dst)
+    elif kind == "nvidia_vgg16":
+        convert_nvidia_vgg16(src, dst)
     else:
         convert_state_dict(src, dst)
 

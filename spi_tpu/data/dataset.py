@@ -38,7 +38,7 @@ def load_image(path: str, size: int = 512) -> np.ndarray:
     return arr * 2.0 - 1.0
 
 
-def _load_mask(path_base: str) -> np.ndarray | None:
+def _load_mask(path_base: str, size: int = 512) -> np.ndarray | None:
     npy = path_base + ".npy"
     pt = path_base + ".pt"
     if os.path.exists(npy):
@@ -52,7 +52,12 @@ def _load_mask(path_base: str) -> np.ndarray | None:
     mask = np.asarray(mask, dtype=np.float32)
     while mask.ndim < 4:
         mask = mask[None]
-    return mask[:, :1]
+    mask = mask[:, :1]
+    if mask.shape[-1] != size:
+        # nearest-neighbor: parsing ids are categorical
+        idx = (np.arange(size) * (mask.shape[-1] / size)).astype(np.int64)
+        mask = mask[:, :, idx][:, :, :, idx]
+    return mask
 
 
 class PTIDataset:
@@ -68,6 +73,7 @@ class PTIDataset:
         output_root: str | None = None,
         select_range: int | None = None,
         filter_index: list[str] | None = None,
+        size: int = 512,
     ):
         self.source_root = source_root
         self.c_root = c_root
@@ -75,6 +81,9 @@ class PTIDataset:
         self.lm_root = lm_root
         self.target_name = target_name
         self.mode = mode
+        # Images (and parsing masks) are resized to `size` so a scaled
+        # generator (run_inversion --tiny) can consume full-res data.
+        self.size = size
 
         paths = sorted(glob.glob(f"{source_root}/*/"))
         if select_range is not None:
@@ -105,14 +114,14 @@ class PTIDataset:
         name = os.path.basename(os.path.dirname(path))
         fname = self.target_name
 
-        image = load_image(os.path.join(path, f"{fname}.{self.mode}"))
+        image = load_image(os.path.join(path, f"{fname}.{self.mode}"), size=self.size)
         camera = np.load(os.path.join(self.c_root, name, fname + ".npy")).astype(
             np.float32
         ).reshape(1, 25)
 
         mask = None
         if self.mask_root is not None:
-            mask = _load_mask(os.path.join(self.mask_root, name, fname))
+            mask = _load_mask(os.path.join(self.mask_root, name, fname), self.size)
 
         lm = None
         if self.lm_root is not None:
@@ -150,7 +159,7 @@ class PTIDatasetM(PTIDataset):
         img_path = os.path.join(path, f"{fname}.{self.mode}")
         c_path = os.path.join(self.c_root, name, fname + ".npy")
         if os.path.exists(img_path) and os.path.exists(c_path):
-            image = load_image(img_path)
+            image = load_image(img_path, size=self.size)
             camera = np.load(c_path).astype(np.float32).reshape(1, 25)
         else:
             sample = super().__getitem__(base)
@@ -161,9 +170,9 @@ class PTIDatasetM(PTIDataset):
 
         mask = None
         if self.mask_root is not None:
-            mask = _load_mask(os.path.join(self.mask_root, name, fname))
+            mask = _load_mask(os.path.join(self.mask_root, name, fname), self.size)
             if mask is None:
-                mask = _load_mask(os.path.join(self.mask_root, name, self.target_name))
+                mask = _load_mask(os.path.join(self.mask_root, name, self.target_name), self.size)
                 mask = mask[:, :, :, ::-1].copy() if mask is not None else None
 
         lm = None

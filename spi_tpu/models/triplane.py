@@ -356,3 +356,23 @@ def ffhq512_128_config(**overrides) -> TriPlaneGenerator:
     )
     defaults.update(overrides)
     return TriPlaneGenerator(**defaults)
+
+
+def tiny_test_config(**overrides) -> TriPlaneGenerator:
+    """Scaled-down generator (same architecture family) for smoke runs
+    and CI: 128^2 output, 16^2 neural render, 4+4 depth samples. Used by
+    `run_inversion --tiny` and the end-to-end CLI smoke test."""
+    defaults = dict(
+        z_dim=32,
+        c_dim=25,
+        w_dim=32,
+        img_resolution=128,
+        backbone_resolution=32,
+        neural_rendering_resolution=16,
+        rendering=RenderingOptions(depth_resolution=4, depth_resolution_importance=4),
+        sr_variant="SuperresolutionHybrid2X",
+        channel_base=1024,
+        channel_max=64,
+    )
+    defaults.update(overrides)
+    return TriPlaneGenerator(**defaults)

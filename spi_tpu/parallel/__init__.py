@@ -9,6 +9,20 @@ equivalent is SPMD over a jax.sharding.Mesh: images batched along a
 XLA collectives (psum) for metric aggregation.
 """
 
-from spi_tpu.parallel.mesh import batched_tuning_step, data_mesh, replicate, shard_batch
+from spi_tpu.parallel.mesh import (
+    data_mesh,
+    index_tree,
+    replicate,
+    shard_batch,
+    spmd_invert,
+    stack_trees,
+)
 
-__all__ = ["data_mesh", "shard_batch", "replicate", "batched_tuning_step"]
+__all__ = [
+    "data_mesh",
+    "shard_batch",
+    "replicate",
+    "spmd_invert",
+    "stack_trees",
+    "index_tree",
+]

@@ -118,11 +118,18 @@ def spmd_invert(
         )(g_params, lpips_params, box_cx_params, targets, cameras,
           w0s, noise0s, w_stds, rng_projs, rng_tunes, face_masks, landmarks)
 
+    # check_vma=False: the program is embarrassingly parallel (no
+    # collectives; every image's scan/while_loop is independent), and the
+    # varying-manual-axes checker rejects benign literal constants inside
+    # lax.cond/while_loop carries (e.g. rng fold_in step counters) that
+    # mix replicated and per-shard values. Correctness is covered by the
+    # serial-vs-SPMD parity test in tests/test_parallel.py.
     wrapped = jax.shard_map(
         sharded,
         mesh=mesh,
         in_specs=(P(), P(), P()) + (P(axis),) * 9,
         out_specs=(P(axis),) * 6,
+        check_vma=False,
     )
     return jax.jit(wrapped)
 

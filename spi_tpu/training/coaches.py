@@ -57,6 +57,10 @@ class CoachSettings:
     depth_yaw_range: float = 0.7
     depth_pitch_range: float = 0.4
     warp_eps: float = 5e-2
+    # Every N steps, emit the current reconstruction through the
+    # snapshot callback (global_config.py:7 log_snapshot=100 +
+    # rot_bbox_cx_coach.py:153-154). 0 = off.
+    log_snapshot: int = 0
 
 
 def pti_settings(num_steps: int = 1000) -> CoachSettings:
@@ -89,9 +93,15 @@ def tune_generator(
     settings: CoachSettings = CoachSettings(),
     box_cx: BoxCXLoss | None = None,
     box_cx_params=None,
+    snapshot_cb=None,
 ):
-    """Run the stage-2 loop. Returns (tuned_params, (steps_run, last_lpips))."""
-    run = _build_tune_fn(generator, lpips, settings, box_cx)
+    """Run the stage-2 loop. Returns (tuned_params, (steps_run, last_lpips)).
+
+    snapshot_cb(step, image), if given, receives the current
+    reconstruction every settings.log_snapshot steps. Pass a STABLE
+    callable (e.g. a bound method) — it is part of the compile cache key.
+    """
+    run = _build_tune_fn(generator, lpips, settings, box_cx, snapshot_cb)
     return run(
         g_params, original_g_params, lpips_params, box_cx_params,
         inputs.target, inputs.camera, inputs.w_pivot,
@@ -101,9 +111,10 @@ def tune_generator(
 
 @functools.lru_cache(maxsize=16)
 def _build_tune_fn(generator: TriPlaneGenerator, lpips: LPIPS,
-                   settings: CoachSettings, box_cx: BoxCXLoss | None):
-    """Cached per (generator, lpips, settings, box_cx): the jitted
-    while_loop program takes minutes to compile and must be reused
+                   settings: CoachSettings, box_cx: BoxCXLoss | None,
+                   snapshot_cb=None):
+    """Cached per (generator, lpips, settings, box_cx, snapshot_cb): the
+    jitted while_loop program takes minutes to compile and must be reused
     across images, not re-traced per call."""
     s = settings
     opt = optax.adam(s.learning_rate)
@@ -234,10 +245,14 @@ def _build_tune_fn(generator: TriPlaneGenerator, lpips: LPIPS,
             planes = generator._planes_nhwc(p, ws)
             loss, (lp, gen_depth) = recon_loss(p, planes, k_recon)
             if has_reg:
+                # The skip branch's zero is derived from `loss` (not a
+                # literal 0.0) so that under shard_map both branches have
+                # the same varying-manual-axes type (see JAX shard_map
+                # scan-vma docs); XLA folds the multiply away.
                 loss = loss + jax.lax.cond(
                     step % s.rot_bs == 0,
                     lambda: reg_losses(p, planes, gen_depth, k_reg),
-                    lambda: 0.0,
+                    lambda: loss * 0.0,
                 )
             return loss, lp
 
@@ -258,6 +273,21 @@ def _build_tune_fn(generator: TriPlaneGenerator, lpips: LPIPS,
             (_, lp), grads = jax.value_and_grad(total_loss, has_aux=True)(
                 params, step, step_rng
             )
+
+            if snapshot_cb is not None and s.log_snapshot > 0:
+                # Mid-run image snapshots (rot_bbox_cx_coach.py:153-154):
+                # a forward-only re-render every log_snapshot steps,
+                # shipped to the host via debug.callback (async, does not
+                # stall the device loop).
+                def dump_snapshot():
+                    img = generator.synthesis(
+                        params, step_rng, ws, camera, noise_mode="const"
+                    )["image"]
+                    jax.debug.callback(snapshot_cb, step, img)
+
+                jax.lax.cond(
+                    step % s.log_snapshot == 0, dump_snapshot, lambda: None
+                )
             # Early-stop semantics (coach :148-151): when THIS step's lpips is
             # already under threshold, skip the update (reference breaks before
             # optimizer.step()).
@@ -281,7 +311,16 @@ def _build_tune_fn(generator: TriPlaneGenerator, lpips: LPIPS,
                 jnp.where(active, lp, lp_prev),
             )
 
-        init = (g_params, opt_state, jnp.array(0, jnp.int32), jnp.array(jnp.inf))
+        # Derive the init step/lpips slots from `target` (varying under
+        # shard_map/vmap) rather than literals: while_loop carries must
+        # keep fixed varying-manual-axes types across iterations, and
+        # both slots become varying after one body step. XLA folds the
+        # zero multiply away.
+        vzero = jnp.sum(target[:, 0, 0, 0]) * 0.0
+        init = (
+            g_params, opt_state,
+            vzero.astype(jnp.int32), jnp.float32(jnp.inf) + vzero,
+        )
         params_final, _, steps_run, last_lp = jax.lax.while_loop(cond_fn, body_fn, init)
         return params_final, (steps_run, last_lp)
 

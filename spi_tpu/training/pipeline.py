@@ -57,6 +57,10 @@ class PipelineConfig:
     # for the reference's dataset_block + one-process-per-GPU fan-out,
     # images_dataset.py:149-158). 1 = serial.
     parallel_images: int = 1
+    # Save the in-progress reconstruction every N tuning steps
+    # (global_config.py:7 log_snapshot + rot_bbox_cx_coach.py:153-154).
+    # 0 = off (serial path only; snapshots are per-image host IO).
+    log_snapshot: int = 0
     # compute dtype for the LPIPS VGG stack (the generator's own
     # compute_dtype lives on TriPlaneGenerator); 'bfloat16' halves the
     # perceptual-loss cost on TPU
@@ -140,6 +144,20 @@ class InversionPipeline:
             depth_lambda=c.pt_depth_lambda,
             tv_lambda=c.pt_tv_lambda,
             yaw_range=adapt_yaw_range,
+            log_snapshot=c.log_snapshot,
+        )
+
+    # ------------------------------------------------------------------
+    def _snapshot_cb(self, step, img):
+        """Mid-tuning snapshot sink (stable bound method: part of the
+        tune-fn compile cache key). Writes
+        image/<coach>/<name>_step<k>.jpg like rot_bbox_cx_coach.py:154."""
+        name = getattr(self, "_snapshot_name", None)
+        if name is None:
+            return
+        save_image(
+            np.asarray(img),
+            os.path.join(self.dirs["image"], f"{name}_step{int(step)}.jpg"),
         )
 
     # ------------------------------------------------------------------
@@ -186,6 +204,7 @@ class InversionPipeline:
 
     def invert_image(self, sample: InversionSample) -> dict[str, Any]:
         cfg = self.config
+        self._snapshot_name = sample.name
         k_proj, k_tune = self._image_keys(sample.name)
 
         image = jnp.asarray(sample.image)
@@ -232,6 +251,9 @@ class InversionPipeline:
                 self.coach_settings(adapt_yaw),
                 box_cx=self.box_cx,
                 box_cx_params=self.box_cx_params,
+                snapshot_cb=(
+                    self._snapshot_cb if cfg.log_snapshot > 0 else None
+                ),
             )
             g_params = tuned
         t_stage2 = time.time() - t0

@@ -93,13 +93,23 @@ def vgg_feature_distance(lpips: LPIPS, p_params, x, y):
     """StyleGAN-projector feature distance (w_projector.py:48-51,80-87).
 
     The reference feeds 256^2 images to the NVIDIA torchscript VGG16 and
-    takes the summed squared difference of its unit-normalized LPIPS
-    embedding; here the same quantity is computed from our VGG16
-    channel-normalized feature stack.
+    takes the summed squared difference of its `return_lpips=True`
+    embedding. That embedding is, per layer, the channel-unit-normalized
+    activation scaled by sqrt(lin_l)/sqrt(H_l*W_l) and flattened — so the
+    squared distance is EXACTLY the richzhang LPIPS value:
+        sum_l mean_hw sum_c lin_lc (nf_x - nf_y)^2
+    computed here from our VGG16 stack + lin heads (convert the
+    torchscript vgg16.pt with `spi_tpu.convert nvidia_vgg16` to get the
+    reference's weights; parity:
+    tests/test_torch_parity_perception.py::TestSgOracle).
     """
     fx = lpips.features(p_params, x)
     fy = lpips.features(p_params, y)
-    return sum(jnp.sum(jnp.square(a - b)) for a, b in zip(fx, fy))
+    total = 0.0
+    for a, b, lin in zip(fx, fy, p_params["lin"]):
+        per_pixel = jnp.einsum("nchw,c->nhw", jnp.square(a - b), lin)
+        total = total + jnp.sum(jnp.mean(per_pixel, axis=(1, 2)))
+    return total
 
 
 def project(

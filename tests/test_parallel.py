@@ -8,9 +8,17 @@ import pytest
 from spi_tpu.criteria.lpips import LPIPS
 from spi_tpu.models.rendering.renderer import RenderingOptions
 from spi_tpu.models.triplane import TriPlaneGenerator
-from spi_tpu.parallel.mesh import batched_tuning_step, data_mesh, replicate, shard_batch
+from spi_tpu.parallel.mesh import (
+    data_mesh,
+    index_tree,
+    shard_batch,
+    spmd_invert,
+    stack_trees,
+)
+from spi_tpu.training import coaches, projectors
 from spi_tpu.utils.camera import canonical_camera
 from spi_tpu.utils.checkpoint import load_pytree, save_pytree
+from spi_tpu.utils.params import init_noise_like, replace_noise
 
 
 @pytest.fixture(scope="module")
@@ -28,30 +36,110 @@ def test_eight_devices_visible():
     assert len(jax.devices()) >= 8
 
 
-@pytest.mark.slow
-def test_batched_tuning_step_runs_sharded(tiny):
-    g, g_single = tiny
-    lpips = LPIPS()
-    mesh = data_mesh(8)
-    b = 8
-    g_batched = jax.tree_util.tree_map(
-        lambda x: jnp.broadcast_to(x[None], (b,) + x.shape), g_single
+def _spmd_inputs(g, g_params, b):
+    """Batched inputs for spmd_invert: b images with per-image keys."""
+    key = jax.random.PRNGKey(7)
+    ki, kr = jax.random.split(key)
+    targets = jnp.tanh(
+        jax.random.normal(ki, (b, 1, 3, g.img_resolution, g.img_resolution))
     )
-    g_batched = shard_batch(mesh, g_batched)
-    lp = replicate(mesh, lpips.init(jax.random.PRNGKey(1)))
-    ws = shard_batch(mesh, jax.random.normal(jax.random.PRNGKey(2), (b, g.num_ws, g.w_dim)))
-    images = shard_batch(
-        mesh, jnp.tanh(jax.random.normal(jax.random.PRNGKey(3), (b, 3, 128, 128)))
-    )
-    cams = shard_batch(mesh, jnp.tile(canonical_camera(), (b, 1)))
-    rngs = shard_batch(mesh, jax.random.split(jax.random.PRNGKey(4), b))
+    cameras = jnp.tile(canonical_camera()[None], (b, 1, 1))
+    w_avg, w_std = projectors.compute_w_stats(g, g_params, canonical_camera(), 4)
+    w0s = jnp.tile(jnp.tile(w_avg, (1, g.num_ws, 1))[None], (b, 1, 1, 1))
+    keys = jax.random.split(kr, 2 * b + 1)
+    noise0s = stack_trees([init_noise_like(keys[i], g_params) for i in range(b)])
+    rng_projs = jnp.stack([keys[b + i] for i in range(b)])
+    rng_tunes = jax.random.split(keys[2 * b], b)
+    w_stds = jnp.full((b,), w_std, jnp.float32)
+    return targets, cameras, w0s, noise0s, w_stds, rng_projs, rng_tunes
 
-    step = batched_tuning_step(g, lpips, mesh)
-    new_params, loss = step(g_batched, lp, ws, images, cams, rngs)
-    assert np.isfinite(float(loss))
-    # parameters actually moved, per image independently
-    some = jax.tree_util.tree_leaves(new_params)[0]
+
+def test_spmd_invert_matches_serial(tiny):
+    """THE SPMD multi-image inversion program (stage-1 scan + stage-2
+    while_loop, vmapped over images, image axis sharded over the mesh)
+    produces per-image results matching the serial projector+coach path.
+
+    Runs in the DEFAULT suite (2 devices, 2 images, 2+2 steps) so the
+    flagship parallel path is never deselected; depth_resolution=3 also
+    keeps the degenerate sample_pdf guard covered by default.
+    """
+    g, g_params = tiny
+    lpips = LPIPS()
+    lpips_params = lpips.init(jax.random.PRNGKey(1))
+    b = 2
+    mesh = data_mesh(2)
+    proj_settings = projectors.ProjectorSettings(
+        mode="mir", num_steps=2, w_avg_samples=4
+    )
+    coach_settings = coaches.CoachSettings(num_steps=2, lpips_threshold=-1.0)
+    targets, cameras, w0s, noise0s, w_stds, rng_projs, rng_tunes = _spmd_inputs(
+        g, g_params, b
+    )
+
+    run = spmd_invert(g, lpips, mesh, proj_settings, coach_settings)
+    w_b, noise_b, g_b, steps_b, lp_b, dists_b = run(
+        g_params, lpips_params, None,
+        shard_batch(mesh, targets), shard_batch(mesh, cameras),
+        shard_batch(mesh, w0s), shard_batch(mesh, noise0s),
+        shard_batch(mesh, w_stds), shard_batch(mesh, rng_projs),
+        shard_batch(mesh, rng_tunes), None, None,
+    )
+    assert w_b.shape[0] == b
+    assert np.all(np.isfinite(np.asarray(lp_b)))
+    assert np.all(np.asarray(steps_b) == coach_settings.num_steps)
+
+    # Serial oracle for image 1: the exact per-image program.
+    proj_run = projectors._build_project_fn(g, lpips, proj_settings)
+    tune_run = coaches._build_tune_fn(g, lpips, coach_settings, None)
+    i = 1
+    w, noise, dists = proj_run(
+        g_params, lpips_params, targets[i], cameras[i], w0s[i],
+        index_tree(noise0s, i), w_stds[i], rng_projs[i],
+    )
+    tuned, (steps, lp) = tune_run(
+        replace_noise(g_params, noise), g_params, lpips_params, None,
+        targets[i], cameras[i], w, None, None, rng_tunes[i],
+    )
+    np.testing.assert_allclose(np.asarray(w_b[i]), np.asarray(w), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(lp_b[i]), np.asarray(lp), rtol=2e-3, atol=2e-4
+    )
+    serial_leaf = jax.tree_util.tree_leaves(tuned)[0]
+    spmd_leaf = jax.tree_util.tree_leaves(index_tree(g_b, i))[0]
+    np.testing.assert_allclose(
+        np.asarray(spmd_leaf), np.asarray(serial_leaf), rtol=2e-3, atol=2e-4
+    )
+
+
+@pytest.mark.slow
+def test_spmd_invert_eight_images_eight_devices(tiny):
+    """One SPMD program inverts 8 images across all 8 mesh devices."""
+    g, g_params = tiny
+    lpips = LPIPS()
+    lpips_params = lpips.init(jax.random.PRNGKey(1))
+    b = 8
+    mesh = data_mesh(8)
+    proj_settings = projectors.ProjectorSettings(
+        mode="mir", num_steps=2, w_avg_samples=4
+    )
+    coach_settings = coaches.CoachSettings(num_steps=2, lpips_threshold=-1.0)
+    targets, cameras, w0s, noise0s, w_stds, rng_projs, rng_tunes = _spmd_inputs(
+        g, g_params, b
+    )
+    run = spmd_invert(g, lpips, mesh, proj_settings, coach_settings)
+    w_b, noise_b, g_b, steps_b, lp_b, _ = run(
+        g_params, lpips_params, None,
+        shard_batch(mesh, targets), shard_batch(mesh, cameras),
+        shard_batch(mesh, w0s), shard_batch(mesh, noise0s),
+        shard_batch(mesh, w_stds), shard_batch(mesh, rng_projs),
+        shard_batch(mesh, rng_tunes), None, None,
+    )
+    assert w_b.shape[0] == b
+    assert np.all(np.isfinite(np.asarray(lp_b)))
+    some = jax.tree_util.tree_leaves(g_b)[0]
     assert some.shape[0] == b
+    # images received different targets -> tuned replicas differ
+    assert not np.allclose(np.asarray(some[0]), np.asarray(some[-1]))
 
 
 def test_checkpoint_roundtrip(tmp_path, tiny):

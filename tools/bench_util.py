@@ -18,8 +18,12 @@ import jax.numpy as jnp
 def _scan_program(fn, args, perturb_arg, n):
     def step(carry, i):
         a = list(args)
-        x = a[perturb_arg]
-        a[perturb_arg] = x * (1.0 + i.astype(x.dtype) * jnp.asarray(1e-6, x.dtype))
+        # Perturb the first array leaf of the chosen arg (which may be a
+        # pytree, e.g. a params dict) so no iteration can be CSE'd away.
+        leaves, treedef = jax.tree_util.tree_flatten(a[perturb_arg])
+        x = leaves[0]
+        leaves[0] = x * (1.0 + i.astype(x.dtype) * jnp.asarray(1e-6, x.dtype))
+        a[perturb_arg] = jax.tree_util.tree_unflatten(treedef, leaves)
         out = fn(*a)
         s = sum(
             jnp.sum(leaf).astype(jnp.float32)
