@@ -161,6 +161,21 @@ def main():
     t_stage2 = time_scan_steps(s2_step, s2_carry, s2_consts, n_steps=8)
 
     per_image_s = 500 * t_stage1 + 1000 * t_stage2
+
+    # ---- real-pipeline sample (host overheads included) --------------------
+    # One actual InversionPipeline.invert_image at reduced step counts
+    # (identical jitted programs, shorter scan/while_loop), scaled to the
+    # reference 500+1000 workload. Catches host-side dispatch, metric
+    # renders and early-stop behavior the scan-slope extrapolation can't.
+    pipe_scaled_s = None
+    try:
+        pipe_scaled_s = bench_real_pipeline(
+            generator, g_params, s1_steps=25, s2_steps=50
+        )
+    except Exception as e:  # keep the headline metric robust
+        print(f"# real-pipeline bench failed: {type(e).__name__}: {e}",
+              flush=True)
+
     target_s = 120.0
     result = {
         "metric": "per-image inversion wall-clock (500 sg + 1000 RotBbox steps)",
@@ -170,10 +185,65 @@ def main():
         "detail": {
             "stage1_s_per_step": round(t_stage1, 4),
             "stage2_s_per_step": round(t_stage2, 4),
+            "pipeline_scaled_s": (
+                round(pipe_scaled_s, 2) if pipe_scaled_s is not None else None
+            ),
             "device": str(jax.devices()[0]),
         },
     }
     print(json.dumps(result))
+
+
+def bench_real_pipeline(generator, g_params, s1_steps: int, s2_steps: int):
+    """Wall-clock one real InversionPipeline.invert_image (random
+    weights, synthetic target) at s1_steps 'mir' + s2_steps RotBbox and
+    scale the two stages to the 500+1000 reference workload. The first
+    call compiles; the measurement reruns on a second image."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from spi_tpu.data.dataset import InversionSample
+    from spi_tpu.training.pipeline import InversionPipeline, PipelineConfig
+    from spi_tpu.utils.camera import canonical_camera
+
+    out_root = tempfile.mkdtemp(prefix="spi_bench_")
+    try:
+        config = PipelineConfig(
+            output_root=out_root,
+            first_inv_type="mir",
+            first_inv_steps=s1_steps,
+            G_1_type="RotBbox",
+            G_1_step=s2_steps,
+            pt_rot_lambda=0.1,
+            pt_mirror_rot_lambda=0.0,  # BoxCX needs landmarks
+            pt_depth_lambda=1.0,
+        )
+        pipeline = InversionPipeline(generator, g_params, config)
+        rng = np.random.default_rng(0)
+
+        def sample(i):
+            img = np.tanh(
+                rng.normal(0, 0.5, (1, 3, 512, 512))
+            ).astype(np.float32)
+            return InversionSample(
+                name=f"bench{i}", image=img,
+                camera=np.asarray(canonical_camera()),
+            )
+
+        pipeline.invert_image(sample(0))  # compile + warm caches
+        t0 = time.time()
+        r = pipeline.invert_image(sample(1))
+        total = time.time() - t0
+        tail = total - r["stage1_s"] - r["stage2_s"]  # metrics+artifacts
+        return (
+            r["stage1_s"] * (500 / s1_steps)
+            + r["stage2_s"] * (1000 / max(r["steps_run"], 1))
+            + tail
+        )
+    finally:
+        shutil.rmtree(out_root, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -27,7 +27,40 @@ import math
 import jax
 import jax.numpy as jnp
 
+import numpy as np
+
 from spi_tpu.ops import grid_sample
+
+# sym2 wavelet lowpass (augment.py:34 wavelets['sym2'])
+_SYM2 = np.array(
+    [-0.12940952255092145, 0.22414386804185735, 0.836516303737469,
+     0.48296291314469025]
+)
+
+
+def _make_fbank(num_bands: int = 4) -> np.ndarray:
+    """4-band wavelet filter bank for the imgfilter group
+    (augment.py:176-186): Bandpass(H(z), b_i) built from the sym2 QMF
+    pair by repeated a-trous lowpass convolution + centered highpass."""
+    hz_lo = _SYM2
+    hz_hi = hz_lo * ((-1.0) ** np.arange(hz_lo.size))
+    hz_lo2 = np.convolve(hz_lo, hz_lo[::-1]) / 2
+    hz_hi2 = np.convolve(hz_hi, hz_hi[::-1]) / 2
+    fbank = np.eye(num_bands, 1)
+    for i in range(1, num_bands):
+        # upsample taps 2x (insert zeros), drop the trailing zero
+        fbank = np.dstack([fbank, np.zeros_like(fbank)]).reshape(
+            fbank.shape[0], -1
+        )[:, :-1]
+        fbank = np.stack([np.convolve(row, hz_lo2) for row in fbank])
+        lo = (fbank.shape[1] - hz_hi2.size) // 2
+        fbank[i, lo : lo + hz_hi2.size] += hz_hi2
+    return fbank.astype(np.float32)
+
+
+_HZ_FBANK = _make_fbank()
+# Expected power spectrum 1/f (augment.py:385)
+_EXPECTED_POWER = np.array([10, 1, 1, 1], np.float32) / 13
 
 
 def _rot2d(theta):
@@ -95,15 +128,13 @@ class AugmentPipe:
     # cutout
     cutout: float = 0.0
     cutout_size: float = 0.5
-    # unsupported groups — must stay disabled
+    # imgfilter group: per-band wavelet amplification (augment.py:382-411)
     imgfilter: float = 0.0
+    imgfilter_bands: tuple = (1.0, 1.0, 1.0, 1.0)
+    imgfilter_std: float = 1.0
+    # additive RGB noise (augment.py:417-421)
     noise: float = 0.0
-
-    def __post_init__(self):
-        assert self.imgfilter == 0 and self.noise == 0, (
-            "imgfilter/noise ADA groups are not implemented (off in the "
-            "EG3D configs this rebuild targets)"
-        )
+    noise_std: float = 0.1
 
     def _gate(self, rng, p, prob, n):
         """Bernoulli(p * prob) per sample."""
@@ -232,6 +263,47 @@ class AugmentPipe:
         out = jnp.einsum("nij,njp->nip", m, rgb1)[:, :3]
         images = out.reshape(n, c, h, w)
 
+        # ---- image-space filtering (augment.py:382-411) ------------------
+        if self.imgfilter > 0:
+            kf = jax.random.fold_in(rng, 77)
+            num_bands = _HZ_FBANK.shape[0]
+            assert len(self.imgfilter_bands) == num_bands
+            expected = jnp.asarray(_EXPECTED_POWER)
+            gain = jnp.ones((n, num_bands))
+            for i, band_strength in enumerate(self.imgfilter_bands):
+                ki = jax.random.fold_in(kf, i)
+                t_i = jnp.exp2(
+                    jax.random.normal(jax.random.fold_in(ki, 1), (n,))
+                    * self.imgfilter_std
+                )
+                apply = (
+                    jax.random.uniform(ki, (n,))
+                    < self.imgfilter * p * band_strength
+                )
+                t_i = jnp.where(apply, t_i, 1.0)
+                t = jnp.ones((n, num_bands)).at[:, i].set(t_i)
+                t = t / jnp.sqrt(
+                    jnp.sum(expected * jnp.square(t), axis=-1, keepdims=True)
+                )
+                gain = gain * t
+
+            hz = gain @ jnp.asarray(_HZ_FBANK)  # (N, taps)
+            images = filter_images(images, hz)
+
+        # ---- additive RGB noise (augment.py:417-421) ----------------------
+        if self.noise > 0:
+            kn = jax.random.fold_in(rng, 88)
+            sigma = jnp.abs(jax.random.normal(kn, (n, 1, 1, 1))) * self.noise_std
+            apply = (
+                jax.random.uniform(jax.random.fold_in(kn, 1), (n, 1, 1, 1))
+                < self.noise * p
+            )
+            sigma = jnp.where(apply, sigma, 0.0)
+            images = images + (
+                jax.random.normal(jax.random.fold_in(kn, 2), images.shape)
+                * sigma
+            )
+
         # ---- cutout -----------------------------------------------------
         if self.cutout > 0:
             kc = jax.random.fold_in(rng, 99)
@@ -247,6 +319,38 @@ class AugmentPipe:
             images = images * mask[:, None]
 
         return images
+
+
+def filter_images(images, hz):
+    """Separable per-sample FIR filtering with reflect padding
+    (augment.py:399-411 conv2d groups analog): one grouped conv per
+    axis over a (1, N*C, H, W) layout.
+
+    images: (N, C, H, W); hz: (N, taps) per-sample filter.
+    Note torch's F.conv2d cross-correlates, so the reference applies
+    hz reversed relative to a mathematical convolution; we match it by
+    flipping the taps in our conv_general_dilated call (which also
+    cross-correlates) — i.e. use the taps as-is.
+    """
+    n, c, h, w = images.shape
+    taps = hz.shape[-1]
+    pad = taps // 2
+    x = images.reshape(1, n * c, h, w)
+    x = jnp.pad(x, ((0, 0), (0, 0), (pad, pad), (pad, pad)), mode="reflect")
+    hz_rows = jnp.tile(hz[:, None], (1, c, 1)).reshape(n * c, 1, 1, taps)
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, hz_rows.shape, ("NCHW", "OIHW", "NCHW")
+    )
+    x = jax.lax.conv_general_dilated(
+        x, hz_rows, (1, 1), "VALID",
+        dimension_numbers=dn, feature_group_count=n * c,
+    )
+    hz_cols = hz_rows.reshape(n * c, 1, taps, 1)
+    x = jax.lax.conv_general_dilated(
+        x, hz_cols, (1, 1), "VALID",
+        dimension_numbers=dn, feature_group_count=n * c,
+    )
+    return x.reshape(n, c, h, w)
 
 
 def _rot3d_about(axis, theta):

@@ -169,6 +169,68 @@ class TestAugmentPipe:
         y = f(jax.random.PRNGKey(1), x, 0.5)
         assert jnp.isfinite(y).all()
 
+    def test_imgfilter_noise_active(self):
+        """imgfilter + noise groups (augment.py:382-421) run and change
+        the image; at p=0 they are the identity."""
+        pipe = AugmentPipe(
+            xflip=0, rotate90=0, xint=0, scale=0, rotate=0, aniso=0,
+            xfrac=0, brightness=0, contrast=0, lumaflip=0, hue=0,
+            saturation=0, imgfilter=1.0, noise=1.0,
+        )
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 3, 16, 16))
+        y0 = pipe(None, jax.random.PRNGKey(1), x, p=0.0)
+        np.testing.assert_allclose(np.asarray(y0), np.asarray(x), atol=1e-4)
+        y1 = pipe(None, jax.random.PRNGKey(1), x, p=1.0)
+        assert jnp.isfinite(y1).all()
+        assert not np.allclose(np.asarray(y1), np.asarray(x), atol=1e-3)
+
+    def test_fbank_matches_reference(self):
+        """The wavelet filter bank equals the reference's Hz_fbank
+        buffer (eg3d/training/augment.py:176-186)."""
+        torch = pytest.importorskip("torch")
+        import sys
+
+        sys.path.insert(0, "/root/reference/eg3d")
+        from training.augment import AugmentPipe as RefPipe
+
+        from spi_tpu.training.augment import _HZ_FBANK
+
+        ref = RefPipe()
+        np.testing.assert_allclose(
+            _HZ_FBANK, ref.Hz_fbank.numpy(), rtol=1e-6, atol=1e-7
+        )
+
+    def test_imgfilter_matches_reference_debug_percentile(self):
+        """Deterministic imgfilter parity: the reference with
+        debug_percentile=0.5 amplifies every band by exp2(erfinv(0))=1
+        -> the combined filter is the power-normalized fbank sum; apply
+        the same gains through filter_images and compare pixels."""
+        torch = pytest.importorskip("torch")
+        import sys
+
+        sys.path.insert(0, "/root/reference/eg3d")
+        from training.augment import AugmentPipe as RefPipe
+
+        from spi_tpu.training.augment import _EXPECTED_POWER, _HZ_FBANK, filter_images
+
+        ref = RefPipe(imgfilter=1.0)
+        ref.p.copy_(torch.as_tensor(1.0))
+        rng = np.random.default_rng(0)
+        x = rng.normal(0, 1, (2, 3, 32, 32)).astype(np.float32)
+        with torch.no_grad():
+            y_ref = ref(torch.from_numpy(x), debug_percentile=0.5).numpy()
+
+        n = x.shape[0]
+        num_bands = _HZ_FBANK.shape[0]
+        gain = np.ones((n, num_bands), np.float32)
+        for i in range(num_bands):
+            t = np.ones((n, num_bands), np.float32)  # t_i = exp2(0) = 1
+            t /= np.sqrt((_EXPECTED_POWER * t ** 2).sum(-1, keepdims=True))
+            gain *= t
+        hz = gain @ _HZ_FBANK
+        y = np.asarray(filter_images(jnp.asarray(x), jnp.asarray(hz)))
+        np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-5)
+
 
 class TestGanDataset:
     def test_folder_and_sampler(self, tmp_path):
