@@ -47,7 +47,10 @@ def parse_args(argv=None):
     parser.add_argument("--pt_tv_lambda", type=float, default=0)
 
     parser.add_argument("--description", type=str, default=None)
-    parser.add_argument("--dataset_block", type=str, default=None, help="1/20")
+    parser.add_argument("--dataset_block", type=str, default=None,
+                        help="'i/N' worklist slice (images_dataset.py:149-158)"
+                             "; 'auto' derives it from the multi-host "
+                             "process grid (spi_tpu.parallel.multihost)")
     parser.add_argument("--select_range", type=int, default=None)
     parser.add_argument("--filter_index", type=str, default=None, help="1,2,3")
     parser.add_argument("--save_video", action="store_true", default=False)
@@ -118,6 +121,11 @@ def main(argv=None):
         parallel_images=args.parallel_images,
         log_snapshot=args.log_snapshot,
     )
+
+    if args.dataset_block == "auto":
+        from spi_tpu.parallel.multihost import host_block
+
+        args.dataset_block = host_block()
 
     dataset = PTIDataset(
         source_root=os.path.join(args.data_root, "crop"),

@@ -211,11 +211,11 @@ def decode_heatmaps(heatmaps):
 
     dx = jnp.sign(at(0, 1) - at(0, -1)) * 0.25
     dy = jnp.sign(at(1, 0) - at(-1, 0)) * 0.25
-    # interior points only get the offset (face_alignment guards 1<px<63)
-    interior_x = (xs > 0) & (xs < w - 1)
-    interior_y = (ys > 0) & (ys < h - 1)
-    x = xs.astype(jnp.float32) + jnp.where(interior_x, dx, 0.0)
-    y = ys.astype(jnp.float32) + jnp.where(interior_y, dy, 0.0)
+    # face_alignment guards BOTH axes jointly (0 < p < 63) before
+    # applying either nudge (utils.get_preds_fromhm)
+    interior = (xs > 0) & (xs < w - 1) & (ys > 0) & (ys < h - 1)
+    x = xs.astype(jnp.float32) + jnp.where(interior, dx, 0.0)
+    y = ys.astype(jnp.float32) + jnp.where(interior, dy, 0.0)
     return jnp.stack([x, y], axis=-1)
 
 

@@ -54,6 +54,11 @@ def _to256(x):
     if x.shape[-1] == 256:
         return x
     n, c, h, w = x.shape
+    if h < 256:
+        # scaled-down smoke configs: nearest upsample to the ArcFace crop
+        f = 256 // h
+        assert h * f == 256, (h, "must divide 256")
+        return jnp.repeat(jnp.repeat(x, f, axis=2), f, axis=3)
     f = h // 256
     return x.reshape(n, c, 256, f, 256, f).mean(axis=(3, 5))
 

@@ -165,3 +165,14 @@ def test_check_replica_consistency():
     bad["a"][2, 1] = 5.0
     out = check_replica_consistency(bad)
     assert len(out) == 1 and out[0][1] == 2
+
+
+def test_host_block():
+    from spi_tpu.parallel.multihost import global_data_mesh, host_block
+
+    assert host_block(4, 0) == "1/4"
+    assert host_block(4, 3) == "4/4"
+    # single-process CI: derives 1/1 from jax.process_*
+    assert host_block() == "1/1"
+    mesh = global_data_mesh()
+    assert mesh.devices.size == len(jax.devices())

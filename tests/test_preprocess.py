@@ -35,6 +35,34 @@ class TestFAN:
         np.testing.assert_allclose(pts[0, 0], [20.25, 10.0], atol=1e-5)
         np.testing.assert_allclose(pts[0, 1, 1], 40.0, atol=0.26)
 
+    def test_decode_matches_get_preds_fromhm_oracle(self):
+        """decode_heatmaps vs a numpy transcription of face_alignment's
+        get_preds_fromhm (the upstream FAN decode: argmax + 0.25-px
+        nudge toward the larger neighbor, interior points only). The
+        face_alignment package isn't installable here; the algorithm is
+        small enough to pin as an in-test oracle."""
+        rng = np.random.default_rng(3)
+        hm = rng.normal(0, 1, (2, 68, 64, 64)).astype(np.float32)
+
+        def oracle(hm):
+            n, c, h, w = hm.shape
+            flat = hm.reshape(n, c, -1)
+            idx = flat.argmax(-1)
+            preds = np.stack([idx % w, idx // w], -1).astype(np.float64)
+            for i in range(n):
+                for j in range(c):
+                    px, py = int(preds[i, j, 0]), int(preds[i, j, 1])
+                    if 0 < px < w - 1 and 0 < py < h - 1:
+                        diff = np.array([
+                            hm[i, j, py, px + 1] - hm[i, j, py, px - 1],
+                            hm[i, j, py + 1, px] - hm[i, j, py - 1, px],
+                        ])
+                        preds[i, j] += np.sign(diff) * 0.25
+            return preds
+
+        pts = np.asarray(decode_heatmaps(jnp.asarray(hm)))
+        np.testing.assert_allclose(pts, oracle(hm), atol=1e-5)
+
     def test_landmarks_scaled_to_image(self, small_fan):
         fan, params = small_fan
         x = jax.random.uniform(jax.random.PRNGKey(2), (1, 3, 512, 512))
