@@ -45,6 +45,9 @@ def parse_args(argv=None):
     parser.add_argument("--pt_mirror_rot_lambda", type=float, default=0)
     parser.add_argument("--pt_depth_lambda", type=float, default=0)
     parser.add_argument("--pt_tv_lambda", type=float, default=0)
+    parser.add_argument("--LPIPS_value_threshold", type=float, default=0.05,
+                        help="early-stop when the recon LPIPS drops below "
+                             "this (hyperparameters.py:13); negative disables")
 
     parser.add_argument("--description", type=str, default=None)
     parser.add_argument("--dataset_block", type=str, default=None,
@@ -114,6 +117,7 @@ def main(argv=None):
         pt_mirror_rot_lambda=args.pt_mirror_rot_lambda,
         pt_depth_lambda=args.pt_depth_lambda,
         pt_tv_lambda=args.pt_tv_lambda,
+        lpips_threshold=args.LPIPS_value_threshold,
         use_adapt_yaw_range=args.use_adapt_yaw_range,
         load_embedding_coach_name=args.load_embedding_coach_name,
         description=args.description,

@@ -84,13 +84,18 @@ class LPIPS:
             run_net = jax.checkpoint(run_net)
         return run_net(params["net"], x)
 
-    def __call__(self, params, x, y, mask=None):
+    def __call__(self, params, x, y, mask=None, y_feats=None):
         """Perceptual distance, summed over batch / batch size
         (lpips.py:33-71). mask: optional (N,1,H,W) in [0,1], area-pooled to
-        each feature resolution."""
+        each feature resolution.
+
+        y_feats: optional precomputed `features(params, y)` — pass it when
+        y is constant across an optimization loop (the recon target) so
+        its VGG stack isn't re-run (and remat-recomputed in the backward)
+        every step. When given, y is ignored."""
         n = x.shape[0]
         fx = self.features(params, x)
-        fy = self.features(params, y)
+        fy = y_feats if y_feats is not None else self.features(params, y)
         total = 0.0
         for f_x, f_y, lin in zip(fx, fy, params["lin"]):
             diff = jnp.square(f_x - f_y)

@@ -56,6 +56,15 @@ class RenderingOptions:
     # peaks at multiple 1.5 GB corner-gather tensors otherwise). None =
     # single pass.
     ray_chunk: int | None = 4096
+    # Single-camera renders (the stage-1 'sg'/'sgw+' step and the
+    # stage-2 recon term — the most-executed programs in the system) run
+    # UNCHUNKED: the jax.checkpoint around each chunk otherwise re-runs
+    # the whole gather+decode+march forward inside the backward, and a
+    # batch-1 pass's live activations fit HBM comfortably (the gather
+    # VJP only keeps the bilinear weights and row indices, not the
+    # quad-row tensors). Multi-camera passes keep the chunked+remat
+    # path. Set False to chunk everything (tight-memory configs).
+    unchunked_single_camera: bool = True
 
 
 def project_onto_planes(coordinates):
@@ -259,6 +268,8 @@ class ImportanceRenderer:
         options.ray_chunk divides M (exact — rays are independent)."""
         chunk = self.options.ray_chunk
         n, m, _ = ray_origins.shape
+        if n == 1 and self.options.unchunked_single_camera:
+            chunk = None
         if chunk is not None and n > 1:
             # Normalize per-chunk WORK (n_cameras x rays) rather than rays:
             # batch-4 chunks at the batch-1 chunk size quadruple the live

@@ -272,7 +272,14 @@ class TriPlaneGenerator:
                 rng_render, planes, decode, ray_origins, ray_directions
             )
 
-        if self.remat_renderer:
+        # Remat only pays off for MULTI-camera passes, where the live
+        # per-sample tensors scale with the camera batch; a single-camera
+        # render's VJP residuals (bilinear weights + row indices + MLP
+        # hiddens, ~0.3 GB in bf16) fit comfortably, and skipping the
+        # checkpoint avoids re-running the whole gather+decode+march
+        # forward inside the backward of the most-executed programs
+        # (stage-1 projection and the stage-2 recon term).
+        if self.remat_renderer and n > 1:
             render = jax.checkpoint(render)
         feature_samples, depth_samples, _ = render(
             params["decoder"], planes, ray_origins, ray_directions
@@ -299,7 +306,7 @@ class TriPlaneGenerator:
             )
             return res_img.astype(jnp.float32)
 
-        if self.remat_sr:
+        if self.remat_sr and n > 1:  # same single-camera rationale as above
             run_sr = jax.checkpoint(run_sr)
         if n > 1 and self.sr_noise_mode != "random":
             # Per-camera map: the SR CNN's 512^2 x 128-ch activations at

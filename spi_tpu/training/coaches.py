@@ -140,6 +140,11 @@ def _build_tune_fn(generator: TriPlaneGenerator, lpips: LPIPS,
         # both fixed through the loop — so XLA hoists this out of the
         # while_loop (computed once per image).
         stable_planes = generator._planes_nhwc(original_g_params, ws)
+        # The recon target is constant through the loop: compute its VGG
+        # feature pyramid ONCE here (outside the while_loop body) instead
+        # of per step — saves a full LPIPS-VGG forward (plus its remat
+        # recompute in the backward) every tuning step.
+        target_feats = jax.lax.stop_gradient(lpips.features(lpips_params, target))
 
         def recon_loss(p, planes, step_rng):
             out = generator.synthesis_from_planes(p, step_rng, planes, ws, camera)
@@ -147,7 +152,7 @@ def _build_tune_fn(generator: TriPlaneGenerator, lpips: LPIPS,
             loss = 0.0
             if s.l2_lambda > 0:
                 loss += l2_loss(img, target) * s.l2_lambda
-            lp = lpips(lpips_params, img, target)
+            lp = lpips(lpips_params, img, target, y_feats=target_feats)
             if s.lpips_lambda > 0:
                 loss += lp * s.lpips_lambda
             return loss, (lp, out["image_depth"])

@@ -46,6 +46,9 @@ class PipelineConfig:
     pt_mirror_rot_lambda: float = 0.05
     pt_depth_lambda: float = 1.0
     pt_tv_lambda: float = 0.0
+    # Early-stop threshold (hyperparameters.py:13 LPIPS_value_threshold);
+    # negative disables early stopping.
+    lpips_threshold: float = 0.05
     use_adapt_yaw_range: bool = False
     max_images_to_invert: int = 3000
     load_embedding_coach_name: str | None = None
@@ -136,9 +139,13 @@ class InversionPipeline:
     def coach_settings(self, adapt_yaw_range: float) -> coaches.CoachSettings:
         c = self.config
         if c.G_1_type == "pti":
-            return coaches.pti_settings(c.G_1_step)
+            return dataclasses.replace(
+                coaches.pti_settings(c.G_1_step),
+                lpips_threshold=c.lpips_threshold,
+            )
         return coaches.CoachSettings(
             num_steps=c.G_1_step,
+            lpips_threshold=c.lpips_threshold,
             rot_lambda=c.pt_rot_lambda,
             mirror_rot_lambda=c.pt_mirror_rot_lambda,
             depth_lambda=c.pt_depth_lambda,

@@ -89,7 +89,7 @@ def _w_noise_scale(step, w_std, settings: ProjectorSettings):
     return w_std * settings.initial_noise_factor * ramp
 
 
-def vgg_feature_distance(lpips: LPIPS, p_params, x, y):
+def vgg_feature_distance(lpips: LPIPS, p_params, x, y, y_feats=None):
     """StyleGAN-projector feature distance (w_projector.py:48-51,80-87).
 
     The reference feeds 256^2 images to the NVIDIA torchscript VGG16 and
@@ -104,7 +104,7 @@ def vgg_feature_distance(lpips: LPIPS, p_params, x, y):
     tests/test_torch_parity_perception.py::TestSgOracle).
     """
     fx = lpips.features(p_params, x)
-    fy = lpips.features(p_params, y)
+    fy = y_feats if y_feats is not None else lpips.features(p_params, y)
     total = 0.0
     for a, b, lin in zip(fx, fy, p_params["lin"]):
         per_pixel = jnp.einsum("nchw,c->nhw", jnp.square(a - b), lin)
@@ -170,11 +170,27 @@ def _build_project_fn(generator: TriPlaneGenerator, lpips: LPIPS,
     # single-threaded folding for the VGG stack).
     @jax.jit
     def run(g_params, lpips_params, target, camera, w0, noise0, w_std, rng_steps):
+        # The projection target(s) are constant across the 500-step scan:
+        # compute their VGG feature pyramids ONCE, outside the scan body,
+        # so the per-step loss only runs VGG on the rendered image.
         if settings.mode == "mir":
             camera_m = cam.mirror_camera(camera)
             cameras = jnp.concatenate([camera, camera_m], axis=0)
             target_m = jnp.flip(target, axis=3)
             weight_m = cam.cal_camera_weight(camera_m)[0]
+            target_feats = jax.lax.stop_gradient(
+                lpips.features(lpips_params, target)
+            )
+            target_m_feats = jax.lax.stop_gradient(
+                lpips.features(lpips_params, target_m)
+            )
+        elif settings.mode == "sg":
+            y256 = target
+            if y256.shape[-1] > 256:
+                y256 = resize_area(y256, (256, 256))
+            target_feats = jax.lax.stop_gradient(lpips.features(lpips_params, y256))
+        else:
+            target_feats = jax.lax.stop_gradient(lpips.features(lpips_params, target))
 
         def loss_fn(w, noise, step_rng, step):
             g = replace_noise(g_params, noise)
@@ -194,21 +210,24 @@ def _build_project_fn(generator: TriPlaneGenerator, lpips: LPIPS,
                     g, render_rng, planes, ws, cameras
                 )
                 img = out["image"]
-                dist = lpips(lpips_params, img[:1], target) + weight_m * lpips(
-                    lpips_params, img[1:], target_m
+                dist = lpips(
+                    lpips_params, img[:1], target, y_feats=target_feats
+                ) + weight_m * lpips(
+                    lpips_params, img[1:], target_m, y_feats=target_m_feats
                 )
             else:
                 out = generator.synthesis(g, render_rng, ws, camera, noise_mode="const")
                 img = out["image"]
                 if settings.mode == "sg":
                     # area-pool to 256 only when larger (w_projector.py:47-51)
-                    x, y = img, target
+                    x = img
                     if x.shape[-1] > 256:
                         x = resize_area(x, (256, 256))
-                        y = resize_area(y, (256, 256))
-                    dist = vgg_feature_distance(lpips, lpips_params, x, y)
+                    dist = vgg_feature_distance(
+                        lpips, lpips_params, x, None, y_feats=target_feats
+                    )
                 else:
-                    dist = lpips(lpips_params, img, target)
+                    dist = lpips(lpips_params, img, target, y_feats=target_feats)
 
             reg = noise_regularization(noise)
             return dist + reg * settings.regularize_noise_weight, dist

@@ -47,6 +47,9 @@ def smoke_run(tmp_path_factory):
         "--G_1_step", "2",
         "--pt_rot_lambda", "0.1",
         "--pt_depth_lambda", "1",
+        # random-weight LPIPS distances can land under the 0.05 default
+        # threshold on step 1; disable early-stop so steps_run is exact
+        "--LPIPS_value_threshold", "-1",
         "--log_snapshot", "2",
     ]
     results = run_inversion.main(argv)
@@ -80,7 +83,10 @@ def test_cli_output_tree(smoke_run):
     log = os.path.join(out_root, "experiments", "metric_log.txt")
     with open(log) as f:
         text = f.read()
-    assert "Coach name:" in text and "synth0" in text
+    # reference format logs per-image rows by index, not name
+    # (base_coach.py:156-198): header + one mode block with an AVG line
+    assert "Coach name:" in text
+    assert "Mode: G1_inv" in text and "Mode: G1_inv AVG" in text
     # --log_snapshot 2 with 2 tuning steps -> one mid-run snapshot at step 0
     assert os.path.exists(
         os.path.join(out_root, "image", coach, "synth0_step0.jpg")
