@@ -25,9 +25,6 @@ from spi_tpu.ops import resize_bilinear
 _SHIFT = jnp.array([-0.030, -0.088, -0.188], jnp.float32)
 _SCALE = jnp.array([0.458, 0.448, 0.450], jnp.float32)
 
-_N_CHANNELS = (64, 128, 256, 512, 512)
-
-
 def _normalize_activation(x, eps=1e-10):
     norm = jnp.sqrt(jnp.sum(jnp.square(x), axis=1, keepdims=True))
     return x / (norm + eps)
@@ -45,20 +42,31 @@ class LPIPS:
     # bf16 conv path (fp32 master weights / unit-normalization /
     # distance accumulation); perceptual distances tolerate it easily.
     compute_dtype: str = "float32"
+    # Backbone config (torchvision layout). Defaults reproduce the
+    # reference LPIPS-VGG16; toy configs (e.g. the multichip dryrun)
+    # can swap in a few-conv net to keep XLA CPU compile time bounded.
+    cfg: tuple = VGG16_CFG
+    target_layers: tuple[int, ...] = (3, 8, 15, 22, 29)
 
     @property
     def net(self) -> VGGFeatures:
-        return VGGFeatures(cfg=VGG16_CFG, target_layers=(3, 8, 15, 22, 29))
+        return VGGFeatures(cfg=self.cfg, target_layers=self.target_layers)
+
+    @property
+    def n_channels(self) -> tuple[int, ...]:
+        by_idx = {idx: cout for idx, kind, _, cout in self.net.module_list()}
+        return tuple(by_idx[i] for i in self.target_layers)
 
     def init(self, key):
         knet, klin = jax.random.split(key)
-        lin_keys = jax.random.split(klin, len(_N_CHANNELS))
+        n_channels = self.n_channels
+        lin_keys = jax.random.split(klin, len(n_channels))
         return {
             "net": self.net.init(knet),
             # lin heads are 1x1 convs without bias; stored as (C,) vectors.
             "lin": [
                 jnp.abs(jax.random.normal(k, (c,), jnp.float32)) / c
-                for k, c in zip(lin_keys, _N_CHANNELS)
+                for k, c in zip(lin_keys, n_channels)
             ],
         }
 
