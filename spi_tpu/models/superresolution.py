@@ -31,6 +31,16 @@ class Superresolution:
     channels: int = 32
     sr_antialias: bool = True
     w_dim: int = 512
+    # Clamp on the internal block widths. None (default) keeps the exact
+    # reference widths (superresolution.py:41,73,106,276) — required for
+    # checkpoint conversion. Toy/test configs (e.g. the multichip dryrun,
+    # which runs on the XLA CPU backend) set a small value: the SR convs
+    # are the dominant FLOPs of a toy-shape synthesis and full-width
+    # blocks make the dryrun's execution minutes long on CPU.
+    channel_max: int | None = None
+
+    def _clamp(self, ch: int) -> int:
+        return ch if self.channel_max is None else min(ch, self.channel_max)
 
     @property
     def input_resolution(self) -> int:
@@ -45,22 +55,22 @@ class Superresolution:
     def block0(self) -> SynthesisBlock:
         if self.variant == "SuperresolutionHybrid8XDC":
             return SynthesisBlock(
-                self.channels, 256, w_dim=self.w_dim, resolution=256,
+                self.channels, self._clamp(256), w_dim=self.w_dim, resolution=256,
                 img_channels=3, is_last=False, conv_clamp=None, up=2,
             )
         if self.variant == "SuperresolutionHybrid8X":
             return SynthesisBlock(
-                self.channels, 128, w_dim=self.w_dim, resolution=256,
+                self.channels, self._clamp(128), w_dim=self.w_dim, resolution=256,
                 img_channels=3, is_last=False, conv_clamp=None, up=2,
             )
         if self.variant == "SuperresolutionHybrid4X":
             return SynthesisBlock(
-                self.channels, 128, w_dim=self.w_dim, resolution=128,
+                self.channels, self._clamp(128), w_dim=self.w_dim, resolution=128,
                 img_channels=3, is_last=False, conv_clamp=None, up=1,
             )
         if self.variant == "SuperresolutionHybrid2X":
             return SynthesisBlock(
-                self.channels, 128, w_dim=self.w_dim, resolution=64,
+                self.channels, self._clamp(128), w_dim=self.w_dim, resolution=64,
                 img_channels=3, is_last=False, conv_clamp=None, up=1,
             )
         raise ValueError(self.variant)
@@ -71,7 +81,7 @@ class Superresolution:
         in_ch = self.block0.out_channels
         # reference block1 widths: 64 everywhere except the DC variant
         # (superresolution.py:41,73,106,276)
-        out_ch = 128 if self.variant == "SuperresolutionHybrid8XDC" else 64
+        out_ch = self._clamp(128 if self.variant == "SuperresolutionHybrid8XDC" else 64)
         return SynthesisBlock(
             in_ch, out_ch, w_dim=self.w_dim, resolution=out_res,
             img_channels=3, is_last=True, conv_clamp=None, up=2,

@@ -85,6 +85,9 @@ class TriPlaneGenerator:
     sr_variant: str = "SuperresolutionHybrid8XDC"
     sr_antialias: bool = True
     sr_noise_mode: str = "none"  # rendering_kwargs['superresolution_noise_mode']
+    # Width clamp for the SR blocks (Superresolution.channel_max). None
+    # keeps reference widths; toy/test configs set a small value.
+    sr_channel_max: int | None = None
     c_gen_conditioning_zero: bool = False
     c_scale: float = 1.0
     channel_base: int = 32768
@@ -154,6 +157,7 @@ class TriPlaneGenerator:
             channels=self.plane_channels,
             sr_antialias=self.sr_antialias,
             w_dim=self.w_dim,
+            channel_max=self.sr_channel_max,
         )
 
     def init(self, key) -> Params:
