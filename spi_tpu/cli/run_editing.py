@@ -55,6 +55,11 @@ def parse_args(argv=None):
                         "from `python -m spi_tpu.convert clip ...`")
     p.add_argument("--bpe_path", type=str, default=None,
                    help="bpe_simple_vocab_16e6.txt.gz for the tokenizer")
+    p.add_argument("--ide3d", action="store_true", default=False,
+                   help="IDE3D-flavored layer selection: train ALL "
+                        "synthesis-block layers incl. ToRGB "
+                        "(ZSSGAN_IDE3D.py:49-51) instead of the EG3D "
+                        "conv-only set")
     p.add_argument("--random_init", action="store_true", default=False,
                    help="random generator/CLIP weights (smoke runs)")
     p.add_argument("--seed", type=int, default=2)  # train.py:62
@@ -75,7 +80,9 @@ def main(argv=None):
     import numpy as np
 
     from spi_tpu.editing.clip_loss import DirectionalCLIPLoss
-    from spi_tpu.editing.zssgan import EditingSettings, ZSSGANTrainer
+    from spi_tpu.editing.zssgan import (
+        EditingSettings, IDE3DZSSGANTrainer, ZSSGANTrainer,
+    )
     from spi_tpu.models.perception import clip as clip_models
     from spi_tpu.models.perception.clip_tokenizer import Tokenizer
     from spi_tpu.models.triplane import ffhq512_128_config
@@ -130,7 +137,8 @@ def main(argv=None):
         lambda_manifold=args.lambda_manifold,
         lambda_texture=args.lambda_texture,
     )
-    trainer = ZSSGANTrainer(
+    trainer_cls = IDE3DZSSGANTrainer if args.ide3d else ZSSGANTrainer
+    trainer = trainer_cls(
         generator=generator, clip_losses=losses, clip_weights=weights,
         settings=settings,
     )

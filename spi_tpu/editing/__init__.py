@@ -8,11 +8,16 @@ conv-layer-only parameter masking.
 """
 
 from spi_tpu.editing.clip_loss import CLIPLossState, DirectionalCLIPLoss
-from spi_tpu.editing.zssgan import EditingSettings, ZSSGANTrainer
+from spi_tpu.editing.zssgan import (
+    EditingSettings,
+    IDE3DZSSGANTrainer,
+    ZSSGANTrainer,
+)
 
 __all__ = [
     "CLIPLossState",
     "DirectionalCLIPLoss",
     "EditingSettings",
+    "IDE3DZSSGANTrainer",
     "ZSSGANTrainer",
 ]

@@ -211,3 +211,44 @@ class ZSSGANTrainer(TwinGeneratorTrainer):
 
         ws, _ = jax.lax.scan(body, ws0, None, length=s.auto_layer_iters)
         return jnp.mean(jnp.abs(ws - ws0), axis=(0, 2))  # (num_ws,)
+
+
+def synthesis_mask(g_params: Params):
+    """Boolean mask selecting EVERY backbone synthesis-block param
+    (convs AND torgb) — ZSSGAN_IDE3D.get_training_layers returns all
+    grandchildren of generator.synthesis (ZSSGAN_IDE3D.py:35-51),
+    unlike the EG3D variant's conv-only index list."""
+
+    def f(path, _leaf):
+        names = _path_names(path)
+        return (
+            len(names) >= 2
+            and names[0] == "backbone"
+            and names[1] == "synthesis"
+        )
+
+    return jax.tree_util.tree_map_with_path(f, g_params)
+
+
+@dataclasses.dataclass(frozen=True)
+class IDE3DZSSGANTrainer(ZSSGANTrainer):
+    """IDE3D-flavored twin-generator editing (ZSSGAN_IDE3D.py:325-499).
+
+    The reference's IDE3DGenerator is NOT an architecture in the repo:
+    it unpickles a persistence pickle whose class source ships inside
+    the checkpoint (ZSSGAN_IDE3D.py:29-33) — code this framework will
+    not execute (convert.py stub unpickler). What distinguishes the
+    IDE3D ZSSGAN *training semantics* from the EG3D one is:
+    - training layers = ALL synthesis-block children including ToRGB
+      (ZSSGAN_IDE3D.py:49-51), vs the EG3D conv-only selection;
+    - style() conditions mapping on the front camera with truncation
+      0.7 and forward() passes noise_mode through, which the base
+      ZSSGANTrainer already does (ZSSGAN_IDE3D.py:83-89).
+    Those semantics are reproduced here over any generator with the
+    TriPlaneGenerator interface; loading an actual IDE3D checkpoint
+    additionally requires implementing the IDE3D architecture (a
+    semantic-conditioned 3D GAN) and a converter for its pickle.
+    """
+
+    def grad_mask(self, trainable: Params):
+        return synthesis_mask(trainable)

@@ -25,14 +25,23 @@ notes:
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Callable
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from spi_tpu.models.rendering import math_utils
 from spi_tpu.models.rendering.ray_marcher import march_rays, march_rays_merge
 from spi_tpu.ops.grid_sample import quad_sample_nhwc
+
+
+def save_plane_feats_policy():
+    """Remat policy for render subgraphs: save the gathered plane
+    features (checkpoint_name 'plane_feats' in _render_rays_inner),
+    rematerialize the rest (ray math, MLP hiddens, march)."""
+    return jax.checkpoint_policies.save_only_these_names("plane_feats")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -289,7 +298,7 @@ class ImportanceRenderer:
         ro = ray_origins.reshape(n, nchunks, chunk, 3).transpose(1, 0, 2, 3)
         rd = ray_directions.reshape(n, nchunks, chunk, 3).transpose(1, 0, 2, 3)
 
-        @jax.checkpoint
+        @partial(jax.checkpoint, policy=save_plane_feats_policy())
         def body(args):
             idx, ro_c, rd_c = args
             return self._render_rays(
@@ -345,6 +354,17 @@ class ImportanceRenderer:
             with jax.named_scope("triplane_sample"):
                 feats = sample_from_planes(planes_nhwc, pts, opts.box_warp)
                 feats = feats.mean(axis=1)  # aggregate planes (triplane.py:125)
+                # Named residual for remat: under
+                # jax.checkpoint(..., policy=save_plane_feats_policy())
+                # the gathered features are SAVED while everything else
+                # rematerializes. The gathers are the latency-bound part
+                # of the render (~16 ns/row on v5e); re-running them in
+                # the backward doubles their cost, while saving them
+                # costs only (points x 32) bf16 of HBM. Sound because
+                # the sample coordinates carry no parameter gradient
+                # (coarse depths are camera-only; importance depths are
+                # stop_gradient'ed), so the backward needs no re-gather.
+                feats = checkpoint_name(feats, "plane_feats")
             dirs = jnp.broadcast_to(
                 ray_directions[:, :, None, :], (n, m, depths.shape[2], 3)
             ).reshape(n, -1, 3)

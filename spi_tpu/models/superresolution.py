@@ -42,6 +42,19 @@ class Superresolution:
     def _clamp(self, ch: int) -> int:
         return ch if self.channel_max is None else min(ch, self.channel_max)
 
+    def __post_init__(self):
+        # The output resolution is fixed by the variant's block stack
+        # (block1 always upsamples 2x from block0's resolution); a
+        # mismatched img_resolution would silently render at the
+        # architecture's resolution while callers size buffers to
+        # img_resolution.
+        expected = 2 * self.block0.resolution
+        if self.img_resolution != expected:
+            raise ValueError(
+                f"{self.variant} outputs {expected}^2, but img_resolution="
+                f"{self.img_resolution}"
+            )
+
     @property
     def input_resolution(self) -> int:
         return {

@@ -284,7 +284,13 @@ class TriPlaneGenerator:
         # forward inside the backward of the most-executed programs
         # (stage-1 projection and the stage-2 recon term).
         if self.remat_renderer and n > 1:
-            render = jax.checkpoint(render)
+            from spi_tpu.models.rendering.renderer import save_plane_feats_policy
+
+            # Save the gathered plane features across the checkpoint
+            # (remat everything else): the gathers are the latency-bound
+            # part of the render, and a full remat re-runs them all in
+            # the backward. See renderer._render_rays_inner.
+            render = jax.checkpoint(render, policy=save_plane_feats_policy())
         feature_samples, depth_samples, _ = render(
             params["decoder"], planes, ray_origins, ray_directions
         )

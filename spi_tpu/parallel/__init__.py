@@ -17,6 +17,11 @@ from spi_tpu.parallel.mesh import (
     spmd_invert,
     stack_trees,
 )
+from spi_tpu.parallel.multihost import (
+    aggregate_metrics,
+    host_work_stripe,
+    work_stripe,
+)
 
 __all__ = [
     "data_mesh",
@@ -25,4 +30,7 @@ __all__ = [
     "spmd_invert",
     "stack_trees",
     "index_tree",
+    "aggregate_metrics",
+    "host_work_stripe",
+    "work_stripe",
 ]

@@ -1,62 +1,138 @@
-"""Multi-host (multi-worker) execution.
+"""Multi-host (multi-process) scale-out for the inversion pipeline.
 
-The reference scales past one machine by hand-sharding the image list
-(`dataset_block='i/N'`, spi/data/images_dataset.py:149-158) and
-launching one process per GPU with CUDA_VISIBLE_DEVICES (README.md:52,
-61); its GAN trainer uses torch.distributed NCCL
-(eg3d/train.py subprocess spawn). The TPU-native equivalents:
+The reference scales past one GPU by hand: the user launches N
+processes, each with `CUDA_VISIBLE_DEVICES=i` and `--dataset_block i/N`
+(spi/data/images_dataset.py:149-158, README.md:52,61), and each process
+works its stripe of the image list with zero communication. The
+TPU-native equivalent formalizes the same embarrassing parallelism over
+JAX's multi-process runtime:
 
-- **Pod SPMD** (one logical program over all chips): call
-  `initialize()` on every worker, build a global mesh with
-  `global_data_mesh()`, and the existing `spmd_invert` / GAN
-  `shard_map` programs run unchanged — XLA routes collectives over ICI
-  within a slice and DCN across slices.
-- **Embarrassing fan-out** (the reference's actual inversion pattern):
-  `host_block()` gives each worker its `dataset_block` slice of the
-  image worklist; no cross-host communication at all.
+- `initialize()` wraps `jax.distributed.initialize` (DCN control plane;
+  no-op for single-process runs), after which `jax.devices()` spans all
+  hosts and `jax.process_index()/process_count()` identify this host.
+- `host_work_stripe()` reproduces `dataset_block` semantics from the
+  process topology: host i of N takes stripe i/N of the worklist. Work
+  distribution stays host-side (DCN), exactly mirroring the reference's
+  shell-level sharding — per-image optimization needs no cross-host
+  collectives (SURVEY.md §5 "Distributed communication backend").
+- `aggregate_metrics()` reduces per-host metric means for the final
+  metric_log.txt (base_coach.py:185-198 averages across images) with
+  one `process_allgather` — the only cross-host communication in the
+  whole pipeline, and it rides DCN once per run, not per step.
 
-This module is exercised in CI only via `host_block` (CI is one
-process); `initialize` is a thin wrapper over
-`jax.distributed.initialize`, kept separate so the CLI entry points
-stay importable without a coordinator.
+Within each host, images are further batched across that host's local
+chips by `parallel.mesh.spmd_invert` (ICI). So the full scale-out story
+is: DCN stripes the worklist across hosts; ICI shards a batch across a
+host's chips; one program per host.
 """
 
 from __future__ import annotations
 
-import jax
+from typing import Sequence
 
 
 def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
-               process_id: int | None = None) -> None:
-    """Join the multi-worker runtime. On TPU pods (GKE/QR-managed) all
-    arguments are discovered from the environment; pass them explicitly
-    for manual bring-up. Must run before any other jax call."""
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+               process_id: int | None = None) -> bool:
+    """Initialize JAX's multi-process runtime.
+
+    With no arguments, relies on the cluster environment (TPU pods set
+    everything automatically; jax.distributed.initialize() reads it).
+    Returns True if a multi-process runtime is active after the call.
+    Safe to call in single-process runs: initialization errors in a
+    1-process context leave JAX in its default single-process state.
+    """
+    import jax
+
+    try:
+        if coordinator_address is not None:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+        else:
+            jax.distributed.initialize()
+    except (RuntimeError, ValueError) as e:
+        if jax.process_count() == 1:
+            return False
+        raise RuntimeError(f"jax.distributed.initialize failed: {e}") from e
+    return jax.process_count() > 1
+
+
+def work_stripe(n_items: int, index: int, total: int) -> list[int]:
+    """Stripe index/total of range(n_items), 0-based, with the exact
+    block arithmetic of the reference's `dataset_block`
+    (images_dataset.py:149-158: block = n // total + 1, 1-based slicing
+    [(i-1)*block : i*block]) so a multi-host run partitions a worklist
+    identically to the reference's multi-process recipe."""
+    assert 0 <= index < total, (index, total)
+    block = n_items // total + 1
+    start = min(index * block, n_items)
+    end = min((index + 1) * block, n_items)
+    return list(range(start, end))
+
+
+def host_work_stripe(n_items: int) -> list[int]:
+    """This host's stripe of an n_items worklist, from the process
+    topology (process_index/process_count)."""
+    import jax
+
+    return work_stripe(n_items, jax.process_index(), jax.process_count())
+
+
+def host_block(total: int | None = None, index: int | None = None) -> str:
+    """This host's `dataset_block` string ("i/N", 1-based — the exact
+    CLI argument of the reference's multi-process recipe,
+    run_inversion.py:40 + images_dataset.py:149-158), derived from the
+    process topology when not given. Plug it straight into
+    PTIDataset(dataset_block=...) so each host loads only its stripe."""
+    import jax
+
+    if total is None:
+        total = jax.process_count()
+    if index is None:
+        index = jax.process_index()
+    assert 0 <= index < total, (index, total)
+    return f"{index + 1}/{total}"
 
 
 def global_data_mesh(axis: str = "data"):
-    """One-axis mesh over every chip in the job (all hosts). With
-    jax.distributed initialized, jax.devices() is global; programs
-    written with shard_map over this mesh (spmd_invert, gan training)
-    scale to pods without modification."""
+    """1-D mesh over every device across ALL hosts (jax.devices() spans
+    the whole job after initialize()); per-host batches placed with
+    mesh.shard_batch land shards on local chips while the compiled
+    program is identical on every host."""
+    import jax
     from jax.sharding import Mesh
 
+    return Mesh(jax.devices(), (axis,))
+
+
+def aggregate_metrics(metrics: dict[str, float], counts_key: str = "n"):
+    """All-gather per-host metric sums and combine into global means.
+
+    `metrics` maps name -> per-host SUM over that host's images, plus
+    `counts_key` -> number of images this host processed. Returns
+    name -> global mean. Single-process: returns local means.
+    """
+    import jax
     import numpy as np
 
-    return Mesh(np.asarray(jax.devices()), (axis,))
+    names = sorted(k for k in metrics if k != counts_key)
+    local = np.array([metrics[counts_key]] + [metrics[k] for k in names],
+                     np.float64)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        gathered = np.asarray(
+            multihost_utils.process_allgather(local)
+        )  # (n_processes, 1 + len(names))
+        total = gathered.sum(axis=0)
+    else:
+        total = local
+    n = max(total[0], 1.0)
+    return {k: float(total[1 + i] / n) for i, k in enumerate(names)}
 
 
-def host_block(n_hosts: int | None = None, host_id: int | None = None) -> str:
-    """This worker's `dataset_block` string ('i/N', 1-based i) for
-    embarrassing data-parallel inversion — the reference's shell-level
-    sharding (images_dataset.py:149-158) derived from the process grid
-    instead of hand-typed flags."""
-    n = n_hosts if n_hosts is not None else jax.process_count()
-    i = host_id if host_id is not None else jax.process_index()
-    assert 0 <= i < n, (i, n)
-    return f"{i + 1}/{n}"
+def filter_stripe(items: Sequence, indices: Sequence[int]):
+    return [items[i] for i in indices]

@@ -157,7 +157,7 @@ class TestZSSGAN:
         from spi_tpu.models.triplane import TriPlaneGenerator
 
         generator = TriPlaneGenerator(
-            z_dim=16, c_dim=25, w_dim=16, img_resolution=64,
+            z_dim=16, c_dim=25, w_dim=16, img_resolution=128,
             backbone_resolution=32, neural_rendering_resolution=16,
             rendering=RenderingOptions(depth_resolution=4, depth_resolution_importance=4),
             sr_variant="SuperresolutionHybrid2X",
@@ -230,6 +230,57 @@ class TestZSSGAN:
         )
         assert ranks.shape == (tr.generator.num_ws,)
         assert jnp.isfinite(ranks).all()
+
+    def test_ide3d_mask_trains_all_synthesis_layers(self, trainer):
+        """ZSSGAN_IDE3D.get_training_layers = every synthesis-block
+        child incl. ToRGB (ZSSGAN_IDE3D.py:35-51), a strict superset of
+        the EG3D conv-only selection."""
+        from spi_tpu.editing.zssgan import synthesis_mask
+
+        _, g_params, _, _ = trainer
+        m_ide3d = synthesis_mask(g_params)
+        m_eg3d = conv_mask(g_params)
+        saw_torgb = False
+        for (path, v3d), (_, veg) in zip(
+            jax.tree_util.tree_leaves_with_path(m_ide3d),
+            jax.tree_util.tree_leaves_with_path(m_eg3d),
+        ):
+            names = [str(getattr(k, "key", k)) for k in path]
+            in_synth = names[0] == "backbone" and names[1] == "synthesis"
+            assert v3d == in_synth, (names, v3d)
+            if veg:
+                assert v3d, f"conv selected by EG3D mask but not IDE3D: {names}"
+            if v3d and "torgb" in names:
+                saw_torgb = True
+        assert saw_torgb, "IDE3D mask missed the torgb layers"
+
+    def test_ide3d_step_moves_torgb(self, trainer):
+        from spi_tpu.editing.zssgan import IDE3DZSSGANTrainer, synthesis_mask
+
+        tr, g_params, clip_params, states = trainer
+        tr3d = IDE3DZSSGANTrainer(
+            generator=tr.generator, clip_losses=tr.clip_losses,
+            clip_weights=tr.clip_weights, settings=tr.settings,
+        )
+        step = tr3d.make_step(frozen_params=g_params)
+        new_params, _, loss = step(
+            g_params, tr3d.init_opt_state(g_params), clip_params, states,
+            jax.random.PRNGKey(4),
+        )
+        assert jnp.isfinite(loss)
+        mask = synthesis_mask(g_params)
+        torgb_moved = False
+        for (path, old), (_, new), (_, m) in zip(
+            jax.tree_util.tree_leaves_with_path(g_params),
+            jax.tree_util.tree_leaves_with_path(new_params),
+            jax.tree_util.tree_leaves_with_path(mask),
+        ):
+            names = [str(getattr(k, "key", k)) for k in path]
+            if not m:
+                assert not bool(jnp.any(old != new)), f"frozen moved: {names}"
+            elif "torgb" in names and bool(jnp.any(old != new)):
+                torgb_moved = True
+        assert torgb_moved, "IDE3D step left every torgb param unchanged"
 
 
 class TestZSSGAN2D:

@@ -176,3 +176,32 @@ def test_host_block():
     assert host_block() == "1/1"
     mesh = global_data_mesh()
     assert mesh.devices.size == len(jax.devices())
+
+
+class TestMultihost:
+    def test_work_stripe_matches_reference_block_arithmetic(self):
+        """Mirror images_dataset.py:149-158: block = n//total + 1,
+        stripe i covers [(i)*block, (i+1)*block) 0-based."""
+        from spi_tpu.parallel.multihost import work_stripe
+
+        for n in (1, 7, 8, 9, 100):
+            for total in (1, 2, 3, 4, 8):
+                stripes = [work_stripe(n, i, total) for i in range(total)]
+                flat = [i for s in stripes for i in s]
+                # full cover, no overlap, order preserved
+                assert flat == list(range(n)), (n, total, stripes)
+                block = n // total + 1
+                for i, s in enumerate(stripes):
+                    ref = list(range(n))[i * block:(i + 1) * block]
+                    assert s == ref, (n, total, i)
+
+    def test_host_work_stripe_single_process(self):
+        from spi_tpu.parallel.multihost import host_work_stripe
+
+        assert host_work_stripe(5) == [0, 1, 2, 3, 4]
+
+    def test_aggregate_metrics_single_process(self):
+        from spi_tpu.parallel.multihost import aggregate_metrics
+
+        out = aggregate_metrics({"n": 4, "l2": 2.0, "lpips": 1.0})
+        assert out == {"l2": 0.5, "lpips": 0.25}

@@ -182,7 +182,7 @@ class TestShapeExtraction:
         from spi_tpu.utils.shape import extract_shape
 
         g = TriPlaneGenerator(
-            z_dim=16, c_dim=25, w_dim=16, img_resolution=64,
+            z_dim=16, c_dim=25, w_dim=16, img_resolution=128,
             backbone_resolution=32, neural_rendering_resolution=16,
             rendering=RenderingOptions(depth_resolution=4, depth_resolution_importance=4),
             sr_variant="SuperresolutionHybrid2X",
