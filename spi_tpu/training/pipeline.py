@@ -224,6 +224,10 @@ class InversionPipeline:
 
         t0 = time.time()
         w_pivot, noise = self.get_inversion(sample, k_proj, fg_mask=fg_mask)
+        # Block before reading the clock: jax dispatch is async, so
+        # without this the stage "time" is submission latency and the
+        # device compute silently drains into whatever is timed next.
+        jax.block_until_ready((w_pivot, noise))
         t_stage1 = time.time() - t0
 
         # Stage 2: fresh G with the stage-1 noise buffers substituted
@@ -263,6 +267,7 @@ class InversionPipeline:
                 ),
             )
             g_params = tuned
+            jax.block_until_ready(g_params)  # same async-dispatch caveat
         t_stage2 = time.time() - t0
 
         return self._finalize_image(
