@@ -39,13 +39,28 @@ activation_funcs: dict[str, _ActSpec] = {
 }
 
 
-def bias_act(x, b=None, dim=1, act="linear", alpha=None, gain=None, clamp=None):
+def bias_act(x, b=None, dim=1, act="linear", alpha=None, gain=None, clamp=None,
+             impl="xla"):
     """Add bias along `dim`, apply activation, scale by gain, clamp.
 
     Matches `_bias_act_ref` (bias_act.py:92-127). `clamp=None` disables
     clamping; `clamp >= 0` clips to [-clamp, clamp].
+
+    `impl` mirrors the reference's 'cuda'|'ref' switch (bias_act.py:
+    85-88): 'xla' (default) is the fusable elementwise chain — optimal
+    in-graph, where XLA folds it into the producing conv/matmul
+    epilogue; 'pallas' dispatches the explicit TPU kernel
+    (ops/bias_act_pallas.py, custom first-order VJP), the path for
+    standalone invocations and the scaffold for kernel experiments.
     """
     assert clamp is None or clamp >= 0
+    if impl == "pallas":
+        from spi_tpu.ops.bias_act_pallas import bias_act_pallas
+
+        return bias_act_pallas(
+            x, b, dim=dim, act=act, alpha=alpha, gain=gain, clamp=clamp
+        )
+    assert impl == "xla", impl
     spec = activation_funcs[act]
     alpha = float(alpha if alpha is not None else spec.def_alpha)
     gain = float(gain if gain is not None else spec.def_gain)

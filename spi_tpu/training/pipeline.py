@@ -194,8 +194,11 @@ class InversionPipeline:
             self.projector_settings(),
             fg_mask=fg_mask,
         )
-        payload = {"w": np.asarray(w)}
-        payload.update({f"noise/{k}": np.asarray(v) for k, v in noise.items()})
+        # One device_get for the whole tree: per-leaf np.asarray costs a
+        # full tunnel round trip (~90 ms) per noise buffer on axon.
+        w_host, noise_host = jax.device_get((w, noise))
+        payload = {"w": w_host}
+        payload.update({f"noise/{k}": v for k, v in noise_host.items()})
         np.savez(os.path.join(emb_dir, f"{sample.name}.npz"), **payload)
         return w, noise
 

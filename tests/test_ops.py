@@ -11,9 +11,11 @@ import pytest
 import torch
 import torch.nn.functional as F
 
+import jax
 import jax.numpy as jnp
 
 from spi_tpu import ops
+from spi_tpu.ops.bias_act import activation_funcs
 
 
 def _rand(*shape, seed=0):
@@ -229,3 +231,48 @@ class TestResize:
         ).numpy()
         got = np.asarray(ops.resize_bilinear(jnp.asarray(x), (16, 16), antialias=True))
         np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+class TestBiasActPallas:
+    """impl='pallas' parity vs the XLA path (the reference pairs its CUDA
+    kernel against _bias_act_ref the same way, bias_act.py:85-88)."""
+
+
+    @pytest.mark.parametrize("act", sorted(activation_funcs))
+    def test_value_parity(self, act):
+        from spi_tpu.ops.bias_act import bias_act
+
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        x = jax.random.normal(k1, (2, 16, 8, 8)) * 3.0
+        b = jax.random.normal(k2, (16,))
+        ref = bias_act(x, b, act=act, gain=1.7, clamp=2.5)
+        out = bias_act(x, b, act=act, gain=1.7, clamp=2.5, impl="pallas")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    @pytest.mark.parametrize("act", ["lrelu", "tanh", "softplus", "swish", "selu"])
+    def test_grad_parity(self, act):
+        from spi_tpu.ops.bias_act import bias_act
+
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(1), 3)
+        x = jax.random.normal(k1, (4, 8, 4, 4))
+        b = jax.random.normal(k2, (8,))
+        ct = jax.random.normal(k3, (4, 8, 4, 4))
+
+        def loss(impl):
+            def f(x, b):
+                return jnp.sum(bias_act(x, b, act=act, gain=1.3, clamp=2.0, impl=impl) * ct)
+
+            return jax.grad(f, argnums=(0, 1))(x, b)
+
+        gx_ref, gb_ref = loss("xla")
+        gx, gb = loss("pallas")
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(gb_ref), atol=1e-5)
+
+    def test_no_bias_and_dims(self):
+        from spi_tpu.ops.bias_act import bias_act
+
+        x = jax.random.normal(jax.random.PRNGKey(2), (3, 5, 16))
+        ref = bias_act(x, None, dim=2, act="lrelu")
+        out = bias_act(x, None, dim=2, act="lrelu", impl="pallas")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
