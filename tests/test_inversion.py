@@ -167,7 +167,14 @@ class TestCoach:
                 face_mask=mask, landmarks=lm,
             ),
             jax.random.PRNGKey(0),
-            coaches.CoachSettings(num_steps=2, tv_lambda=0.25),
+            # Disable the 0.05 early-stop: with RANDOM lin-head weights
+            # the LPIPS scale is arbitrary and can land under the
+            # threshold after one step (the reference breaks before
+            # optimizer.step() the same way, rot_bbox_cx_coach.py:
+            # 148-151), which would make the step-count assertion flaky.
+            coaches.CoachSettings(
+                num_steps=2, tv_lambda=0.25, lpips_threshold=-1.0
+            ),
             box_cx=box_cx,
             box_cx_params=box_params,
         )

@@ -138,8 +138,14 @@ def test_spmd_invert_eight_images_eight_devices(tiny):
     assert np.all(np.isfinite(np.asarray(lp_b)))
     some = jax.tree_util.tree_leaves(g_b)[0]
     assert some.shape[0] == b
-    # images received different targets -> tuned replicas differ
-    assert not np.allclose(np.asarray(some[0]), np.asarray(some[-1]))
+    # Images received different targets -> tuned replicas differ. Check
+    # across ALL leaves: individual leaves can legitimately be identical
+    # (e.g. mapping params get zero gradient when tuning from a fixed
+    # w-pivot, so the masked Adam update leaves them untouched).
+    assert any(
+        not np.allclose(np.asarray(leaf[0]), np.asarray(leaf[-1]))
+        for leaf in jax.tree_util.tree_leaves(g_b)
+    ), "all tuned replicas identical across images"
 
 
 def test_checkpoint_roundtrip(tmp_path, tiny):
