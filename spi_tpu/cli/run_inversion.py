@@ -152,6 +152,26 @@ def main(argv=None):
             f"stage2={r['stage2_s']:.1f}s steps={r['steps_run']} "
             f"metrics={r.get('metrics')}"
         )
+
+    # Multi-host runs: combine per-host metric sums into global means
+    # (one process_allgather per run — the only cross-host traffic in
+    # the pipeline; parallel/multihost.py).
+    import jax
+
+    if jax.process_count() > 1 and results:
+        from spi_tpu.parallel.multihost import aggregate_metrics
+
+        sums: dict[str, float] = {"n": float(len(results))}
+        for r in results:
+            for k, v in (r.get("metrics") or {}).items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+        global_means = aggregate_metrics(sums)
+        if jax.process_index() == 0:
+            print(f"global metric means over all hosts: {global_means}")
+            with open(os.path.join(
+                pipeline.dirs["experiments"], "metric_log_global.txt"
+            ), "a") as f:
+                f.write(f"{global_means}\n")
     return results
 
 
