@@ -127,8 +127,21 @@ def main(argv=None):
     )
 
     if args.dataset_block == "auto":
-        from spi_tpu.parallel.multihost import host_block
+        import warnings
 
+        from spi_tpu.parallel.multihost import host_block, initialize
+
+        # Without an initialized multi-process runtime every launched
+        # process would see process_count()==1 and resolve to block
+        # "1/1" — i.e. silently invert the FULL worklist. initialize()
+        # is a safe no-op for genuinely single-process runs.
+        if not initialize():
+            warnings.warn(
+                "--dataset_block auto: jax.process_count()==1 after "
+                "jax.distributed.initialize(); this process takes the "
+                "whole worklist (block 1/1). If you launched several "
+                "processes, set the multi-process env (coordinator "
+                "address etc.) or pass explicit --dataset_block i/N.")
         args.dataset_block = host_block()
 
     dataset = PTIDataset(
@@ -158,9 +171,15 @@ def main(argv=None):
     # the pipeline; parallel/multihost.py).
     import jax
 
-    if jax.process_count() > 1 and results:
+    if jax.process_count() > 1:
         from spi_tpu.parallel.multihost import aggregate_metrics
 
+        # EVERY process must enter the collective — with the reference
+        # block arithmetic (block = n//total + 1) trailing hosts can get
+        # empty stripes, and a host that skipped the allgather would
+        # leave the others blocked inside process_allgather forever.
+        # aggregate_metrics uses a fixed metric-name layout, so an empty
+        # host contributes a zero vector.
         sums: dict[str, float] = {"n": float(len(results))}
         for r in results:
             for k, v in (r.get("metrics") or {}).items():

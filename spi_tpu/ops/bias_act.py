@@ -52,6 +52,9 @@ def bias_act(x, b=None, dim=1, act="linear", alpha=None, gain=None, clamp=None,
     epilogue; 'pallas' dispatches the explicit TPU kernel
     (ops/bias_act_pallas.py, custom first-order VJP), the path for
     standalone invocations and the scaffold for kernel experiments.
+    On real TPUs impl='pallas' requires `x.shape[dim]` to be a multiple
+    of 8 (Mosaic sublane-alignment of the row tiling); narrow-channel
+    calls such as the 3-channel ToRGB must use 'xla'.
     """
     assert clamp is None or clamp >= 0
     if impl == "pallas":

@@ -181,6 +181,17 @@ def bias_act_pallas(x, b=None, dim=1, act="linear", alpha=None, gain=None, clamp
         b = jnp.zeros((x.shape[dim],), x.dtype)
     assert b.ndim == 1 and b.shape[0] == x.shape[dim]
 
+    # The grid tiles rows in blocks of height C at offsets i*C; on real
+    # TPUs Mosaic requires dynamic block offsets on the sublane axis to
+    # be 8-aligned, so C must be a multiple of 8 (CI exercises the
+    # kernel through interpret mode, which would not catch this).
+    if jax.default_backend() == "tpu" and x.shape[dim] % 8 != 0:
+        raise ValueError(
+            f"bias_act impl='pallas' on TPU requires the bias axis to be "
+            f"a multiple of 8 sublanes, got C={x.shape[dim]} (dim={dim}). "
+            f"Use impl='xla' for narrow-channel calls (e.g. 3-channel "
+            f"ToRGB) or pad the channel axis.")
+
     lead = int(np_prod(x.shape[: dim + 1]))
     trail = int(np_prod(x.shape[dim + 1:]))
     x2 = x.reshape(lead, trail)

@@ -108,19 +108,36 @@ def global_data_mesh(axis: str = "data"):
     return Mesh(jax.devices(), (axis,))
 
 
-def aggregate_metrics(metrics: dict[str, float], counts_key: str = "n"):
+# The pipeline's per-image metric names (utils/metrics.py Metric.run +
+# the mirrored variants added by InversionPipeline). Fixing the list
+# here keeps the allgathered vector layout identical on every host —
+# required for the collective below to line up even when a host
+# processed zero images (and so has no local metric keys at all).
+METRIC_NAMES = ("id", "id_m", "l2", "l2_m", "lpips", "lpips_m")
+
+
+def aggregate_metrics(metrics: dict[str, float], counts_key: str = "n",
+                      names: Sequence[str] = METRIC_NAMES):
     """All-gather per-host metric sums and combine into global means.
 
     `metrics` maps name -> per-host SUM over that host's images, plus
     `counts_key` -> number of images this host processed. Returns
     name -> global mean. Single-process: returns local means.
+
+    EVERY process in the job must call this (it is a collective), with
+    the same `names` — the vector layout is fixed by `names`, not by the
+    local dict, so hosts with empty work stripes (metrics={} or just
+    {counts_key: 0}) participate safely with zero-filled entries.
     """
     import jax
     import numpy as np
 
-    names = sorted(k for k in metrics if k != counts_key)
-    local = np.array([metrics[counts_key]] + [metrics[k] for k in names],
-                     np.float64)
+    names = tuple(names)
+    # float32: JAX downcasts f64 anyway when x64 is disabled; be explicit
+    # so every host ships the same dtype through process_allgather.
+    local = np.array(
+        [metrics.get(counts_key, 0.0)] + [metrics.get(k, 0.0) for k in names],
+        np.float32)
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
 
@@ -132,7 +149,3 @@ def aggregate_metrics(metrics: dict[str, float], counts_key: str = "n"):
         total = local
     n = max(total[0], 1.0)
     return {k: float(total[1 + i] / n) for i, k in enumerate(names)}
-
-
-def filter_stripe(items: Sequence, indices: Sequence[int]):
-    return [items[i] for i in indices]

@@ -210,4 +210,11 @@ class TestMultihost:
         from spi_tpu.parallel.multihost import aggregate_metrics
 
         out = aggregate_metrics({"n": 4, "l2": 2.0, "lpips": 1.0})
-        assert out == {"l2": 0.5, "lpips": 0.25}
+        # Fixed METRIC_NAMES layout: missing names come back zero-filled
+        # so every host's allgathered vector lines up.
+        assert out["l2"] == 0.5 and out["lpips"] == 0.25
+        assert out["id"] == 0.0 and out["l2_m"] == 0.0
+        # Zero-work host: must still be callable with an empty dict.
+        empty = aggregate_metrics({})
+        assert set(empty) == {"id", "id_m", "l2", "l2_m", "lpips", "lpips_m"}
+        assert all(v == 0.0 for v in empty.values())
