@@ -34,7 +34,9 @@ from jax.ad_checkpoint import checkpoint_name
 
 from spi_tpu.models.rendering import math_utils
 from spi_tpu.models.rendering.ray_marcher import march_rays, march_rays_merge
+from spi_tpu.ops import plane_splat
 from spi_tpu.ops.grid_sample import quad_sample_nhwc
+from spi_tpu.ops.plane_splat import RayGeom
 
 
 def save_plane_feats_policy():
@@ -74,6 +76,15 @@ class RenderingOptions:
     # quad-row tensors). Multi-camera passes keep the chunked+remat
     # path. Set False to chunk everything (tight-memory configs).
     unchunked_single_camera: bool = True
+    # Backward of the triplane gather: 'windowed' uses the Pallas
+    # windowed-splat kernel (ops/plane_splat.py, ~3-5 ns/row on v5e vs
+    # XLA scatter's ~15.6), 'xla' the autodiff scatter, 'auto' picks
+    # windowed on TPU whenever the pass geometry admits it. NOTE the
+    # windowed path returns ZERO gradient for the sample coordinates —
+    # sound for every render in this codebase (coarse depths carry no
+    # parameter gradient and importance depths are stop_gradient'ed);
+    # set 'xla' if you ever differentiate w.r.t. cameras.
+    plane_splat: str = "auto"
 
 
 def project_onto_planes(coordinates):
@@ -90,13 +101,79 @@ def project_onto_planes(coordinates):
     return jnp.stack([p0, p1, p2], axis=1)
 
 
-def sample_from_planes(plane_features_nhwc, coordinates, box_warp: float):
+def _sample_planes_math(plane_features_nhwc, coordinates, box_warp: float):
+    """Single-table core of sample_from_planes: (1|N, 3, HW, C) tables
+    at (N, M, 3) points -> (N, 3, M, C)."""
+    n_tab, n_planes, hw, c = plane_features_nhwc.shape
+    h = w = int(round(hw**0.5))
+    assert h * w == hw
+    coords = coordinates * (2.0 / box_warp)
+    grids = project_onto_planes(coords)  # (N, 3, M, 2)
+    # One quad-row take per plane (static Python loop: per-plane 2D
+    # tables gather measurably faster than one batched 3-plane gather).
+    outs = [
+        quad_sample_nhwc(plane_features_nhwc[:, p], grids[:, p], h, w)
+        for p in range(n_planes)
+    ]
+    return jnp.stack(outs, axis=1)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _sample_planes_windowed(plane_features_nhwc, coordinates, box_warp, geom):
+    """sample_from_planes core with the windowed-splat backward.
+
+    Forward identical to _sample_planes_math; the backward replaces the
+    XLA gather-VJP scatter with the Pallas windowed splat
+    (ops/plane_splat.py). Returns ZERO cotangent for `coordinates` —
+    callers guarantee the coordinates carry no parameter gradient
+    (coarse depths are camera-only, importance depths stop_gradient'ed).
+    """
+    return _sample_planes_math(plane_features_nhwc, coordinates, box_warp)
+
+
+def _sample_planes_windowed_fwd(planes, coords, box_warp, geom):
+    out = _sample_planes_math(planes, coords, box_warp)
+    # Residuals must be JAX types: carry the plane dtype as a size-0
+    # token and recover the (square) table side from a 1-element shape
+    # probe. geom_supported pins h = w = 256 today, but keep it general.
+    shape_token = jnp.zeros((planes.shape[2], 0), planes.dtype)
+    return out, (shape_token, coords)
+
+
+def _sample_planes_windowed_bwd(box_warp, geom, res, g):
+    shape_token, coords = res
+    hw = shape_token.shape[0]
+    planes_dtype = shape_token.dtype
+    h = w = int(round(hw**0.5))
+    grids = project_onto_planes(
+        jax.lax.stop_gradient(coords) * (2.0 / box_warp)
+    )  # (1, 3, M, 2) in [-1, 1]
+    # align_corners=False texel mapping (matches ops.grid_sample).
+    fx = ((grids[..., 0] + 1.0) * w - 1.0) * 0.5
+    fy = ((grids[..., 1] + 1.0) * h - 1.0) * 0.5
+    tex = jnp.stack([fx, fy], axis=-1)
+    d = plane_splat.splat_planes(
+        tex, g, geom, h, w, interpret=jax.default_backend() != "tpu"
+    )
+    return d.astype(planes_dtype), jnp.zeros_like(coords)
+
+
+_sample_planes_windowed.defvjp(
+    _sample_planes_windowed_fwd, _sample_planes_windowed_bwd
+)
+
+
+def sample_from_planes(plane_features_nhwc, coordinates, box_warp: float,
+                       geom: RayGeom | None = None, impl: str = "auto"):
     """Bilinear-sample triplane features at 3D points.
 
     Args:
       plane_features_nhwc: (N, 3, H*W, C) channels-last plane tables.
       coordinates: (N, M, 3) world-space points.
       box_warp: side length of the [-1,1]-normalized cube.
+      geom: static ray-bundle structure of the pass (enables the
+        windowed-splat backward); None falls back to XLA autodiff.
+      impl: 'auto' | 'windowed' | 'xla' (see RenderingOptions.plane_splat).
 
     Returns:
       (N, 3, M, C) per-plane features. (renderer.py:55-65)
@@ -110,21 +187,24 @@ def sample_from_planes(plane_features_nhwc, coordinates, box_warp: float):
         # tables costs ~1.4x per index (and the backward scatter
         # similarly), measured 5.6x total on a batch-4 render backward.
         out = sample_from_planes(
-            plane_features_nhwc, coordinates.reshape(1, n * m, 3), box_warp
+            plane_features_nhwc, coordinates.reshape(1, n * m, 3), box_warp,
+            geom=geom, impl=impl,
         )  # (1, 3, N*M, C)
         return jnp.transpose(out[0].reshape(n_planes, n, m, c), (1, 0, 2, 3))
     assert n_tab == n, (n_tab, n)
     h = w = int(round(hw**0.5))
-    assert h * w == hw
-    coords = coordinates * (2.0 / box_warp)
-    grids = project_onto_planes(coords)  # (N, 3, M, 2)
-    # One quad-row take per plane (static Python loop: per-plane 2D
-    # tables gather measurably faster than one batched 3-plane gather).
-    outs = [
-        quad_sample_nhwc(plane_features_nhwc[:, p], grids[:, p], h, w)
-        for p in range(n_planes)
-    ]
-    return jnp.stack(outs, axis=1)
+    use_windowed = (
+        impl in ("auto", "windowed")
+        and n == 1
+        and 128 % c == 0  # lane alignment of the kernel's ox*C offset
+        and plane_splat.geom_supported(geom, h, w, m)
+        and (impl == "windowed" or jax.default_backend() == "tpu")
+    )
+    if use_windowed:
+        return _sample_planes_windowed(
+            plane_features_nhwc, coordinates, box_warp, geom
+        )
+    return _sample_planes_math(plane_features_nhwc, coordinates, box_warp)
 
 
 def sample_stratified(rng, ray_origins, ray_start, ray_end, depth_resolution: int,
@@ -272,9 +352,14 @@ class ImportanceRenderer:
 
     options: RenderingOptions
 
-    def __call__(self, rng, planes_nhwc, decoder: Callable, ray_origins, ray_directions):
+    def __call__(self, rng, planes_nhwc, decoder: Callable, ray_origins,
+                 ray_directions, rays_w: int | None = None):
         """Renders (N, M, 3) rays; chunks the ray axis when
-        options.ray_chunk divides M (exact — rays are independent)."""
+        options.ray_chunk divides M (exact — rays are independent).
+
+        `rays_w` is the scanline width of the ray bundle (the render
+        resolution); it only informs the windowed-splat backward's
+        tiling (plane_splat.RayGeom) and may be omitted."""
         chunk = self.options.ray_chunk
         n, m, _ = ray_origins.shape
         if n == 1 and self.options.unchunked_single_camera:
@@ -292,17 +377,24 @@ class ImportanceRenderer:
                 target -= 1
             chunk = target if target >= 32 else None
         if chunk is None or m <= chunk or m % chunk != 0:
-            return self._render_rays(rng, planes_nhwc, decoder, ray_origins, ray_directions)
+            return self._render_rays(
+                rng, planes_nhwc, decoder, ray_origins, ray_directions,
+                rays_w=rays_w,
+            )
 
         nchunks = m // chunk
         ro = ray_origins.reshape(n, nchunks, chunk, 3).transpose(1, 0, 2, 3)
         rd = ray_directions.reshape(n, nchunks, chunk, 3).transpose(1, 0, 2, 3)
+        # A chunk is whole scanlines iff rays_w divides it; otherwise
+        # the tile structure is lost and the splat falls back to XLA.
+        chunk_rays_w = rays_w if (rays_w and chunk % rays_w == 0) else None
 
         @partial(jax.checkpoint, policy=save_plane_feats_policy())
         def body(args):
             idx, ro_c, rd_c = args
             return self._render_rays(
-                jax.random.fold_in(rng, idx), planes_nhwc, decoder, ro_c, rd_c
+                jax.random.fold_in(rng, idx), planes_nhwc, decoder, ro_c,
+                rd_c, rays_w=chunk_rays_w,
             )
 
         rgb, depth, wsum = jax.lax.map(body, (jnp.arange(nchunks), ro, rd))
@@ -312,15 +404,19 @@ class ImportanceRenderer:
 
         return merge(rgb), merge(depth), merge(wsum)
 
-    def _render_rays(self, rng, planes_nhwc, decoder: Callable, ray_origins, ray_directions):
+    def _render_rays(self, rng, planes_nhwc, decoder: Callable, ray_origins,
+                     ray_directions, rays_w: int | None = None):
         # named_scope mirrors the reference's profiled_function boundaries
         # (misc.py:102-107 applied over renderer.py) for jax.profiler traces.
         with jax.named_scope("importance_render"):
             return self._render_rays_inner(
-                rng, planes_nhwc, decoder, ray_origins, ray_directions
+                rng, planes_nhwc, decoder, ray_origins, ray_directions,
+                rays_w=rays_w,
             )
 
-    def _render_rays_inner(self, rng, planes_nhwc, decoder: Callable, ray_origins, ray_directions):
+    def _render_rays_inner(self, rng, planes_nhwc, decoder: Callable,
+                           ray_origins, ray_directions,
+                           rays_w: int | None = None):
         opts = self.options
         rng_coarse, rng_fine, rng_noise = jax.random.split(rng, 3)
 
@@ -348,11 +444,21 @@ class ImportanceRenderer:
 
         n, m, s, _ = depths_coarse.shape
 
-        def run(depths):
+        def make_geom(k: int, fine: bool):
+            if not rays_w or m % rays_w:
+                return None
+            return RayGeom(n_views=n, rays_h=m // rays_w, rays_w=rays_w,
+                           n_samples=k, fine=fine)
+
+        def run(depths, fine: bool):
             pts = ray_origins[:, :, None, :] + depths * ray_directions[:, :, None, :]
             pts = pts.reshape(n, -1, 3)
             with jax.named_scope("triplane_sample"):
-                feats = sample_from_planes(planes_nhwc, pts, opts.box_warp)
+                feats = sample_from_planes(
+                    planes_nhwc, pts, opts.box_warp,
+                    geom=make_geom(depths.shape[2], fine),
+                    impl=opts.plane_splat,
+                )
                 feats = feats.mean(axis=1)  # aggregate planes (triplane.py:125)
                 # Named residual for remat: under
                 # jax.checkpoint(..., policy=save_plane_feats_policy())
@@ -378,7 +484,7 @@ class ImportanceRenderer:
                 sigma.reshape(n, m, k, 1),
             )
 
-        colors_coarse, densities_coarse = run(depths_coarse)
+        colors_coarse, densities_coarse = run(depths_coarse, fine=False)
 
         n_imp = opts.depth_resolution_importance
         if n_imp > 0:
@@ -386,7 +492,7 @@ class ImportanceRenderer:
                 colors_coarse, densities_coarse, depths_coarse, white_back=opts.white_back
             )
             depths_fine = sample_importance(rng_fine, depths_coarse, weights, n_imp)
-            colors_fine, densities_fine = run(depths_fine)
+            colors_fine, densities_fine = run(depths_fine, fine=True)
 
             # coarse+fine union composited as a rank-based merge of two
             # per-ray-sorted groups — no sort, no take_along_axis

@@ -273,7 +273,8 @@ class TriPlaneGenerator:
                 return rgb.astype(jnp.float32), sigma.astype(jnp.float32)
 
             return self.renderer(
-                rng_render, planes, decode, ray_origins, ray_directions
+                rng_render, planes, decode, ray_origins, ray_directions,
+                rays_w=res,
             )
 
         # Remat only pays off for MULTI-camera passes, where the live

@@ -23,6 +23,19 @@ from spi_tpu.ops.upfirdn2d import _parse_padding, upfirdn2d
 _PRECISION = lax.Precision.HIGHEST
 
 
+def conv_precision(x, w):
+    """Per-call MXU precision: exact (HIGHEST, multi-pass) for fp32
+    operands so parity tests match torch bit-for-bit in accumulation
+    order, native single-pass bf16 (DEFAULT accumulates fp32 in the MXU
+    anyway) when the compute dtype is already bfloat16 — HIGHEST on
+    bf16 inputs forces a 3/6-pass split with no accuracy left to
+    protect (the operands were rounded to bf16 already) and measurably
+    slows every conv in the synthesis/LPIPS path."""
+    if x.dtype == jnp.bfloat16 and w.dtype == jnp.bfloat16:
+        return lax.Precision.DEFAULT
+    return _PRECISION
+
+
 def conv2d(x, w, stride=1, padding=0, groups=1, flip_weight=True):
     """torch.nn.functional.conv2d-compatible convolution.
 
@@ -43,7 +56,7 @@ def conv2d(x, w, stride=1, padding=0, groups=1, flip_weight=True):
         padding=((padding[0], padding[0]), (padding[1], padding[1])),
         feature_group_count=groups,
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        precision=_PRECISION,
+        precision=conv_precision(x, w),
     )
 
 
@@ -78,7 +91,7 @@ def conv_transpose2d(x, w, stride=1, padding=0, groups=1, flip_weight=True):
         lhs_dilation=tuple(stride),
         feature_group_count=groups,
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        precision=_PRECISION,
+        precision=conv_precision(x, w),
     )
 
 

@@ -121,7 +121,11 @@ def _upfirdn2d_jit(x, f2, *, up, down, padding, flip_filter, gain):
         lhs_dilation=(upy, upx),
         feature_group_count=c,
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        precision=lax.Precision.HIGHEST,
+        # Depthwise FIR taps: exact for fp32, native single-pass for
+        # bf16 (see ops.conv.conv_precision).
+        precision=(lax.Precision.DEFAULT
+                   if x.dtype == jnp.bfloat16 and kernel.dtype == jnp.bfloat16
+                   else lax.Precision.HIGHEST),
     )
     return out
 

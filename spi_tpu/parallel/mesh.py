@@ -88,8 +88,20 @@ def spmd_invert(
     Returns per-image (B-leading): (w_pivot, stage-1 noise tree,
       tuned_g_params, steps_run, last_lpips, stage1 dists (B, num_steps)).
     """
+    import dataclasses
+
     from spi_tpu.training import coaches, projectors
     from spi_tpu.utils.params import replace_noise
+
+    # The windowed-splat backward (ops/plane_splat.py) accumulates into
+    # a VMEM table across a sequential Pallas grid keyed on
+    # program_id(0); under vmap the batching rule prepends a batch grid
+    # dimension, which would break that accumulator. The vmapped SPMD
+    # program keeps the XLA gather-VJP scatter.
+    generator = dataclasses.replace(
+        generator,
+        rendering=dataclasses.replace(generator.rendering, plane_splat="xla"),
+    )
 
     proj_run = projectors._build_project_fn(generator, lpips, proj_settings)
     tune_run = coaches._build_tune_fn(generator, lpips, coach_settings, box_cx)
