@@ -447,6 +447,12 @@ class ImportanceRenderer:
         def make_geom(k: int, fine: bool):
             if not rays_w or m % rays_w:
                 return None
+            if fine:
+                # Importance depths spread too far per tile: the splat
+                # needs ts=3 tiles + 112-tall windows, whose extra tile
+                # count and window area eat the whole win (measured at
+                # parity with the XLA scatter on v5e). Keep autodiff.
+                return None
             return RayGeom(n_views=n, rays_h=m // rays_w, rays_w=rays_w,
                            n_samples=k, fine=fine)
 

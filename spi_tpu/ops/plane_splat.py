@@ -29,15 +29,15 @@ Measured on v5e (tools/probe_winscatter_r5.py): 3.4 ns/row for 64x64
 windows, 5.3 ns/row for full-row strips — 3-4.5x over XLA's scatter,
 with float32 exactness vs a float64 reference.
 
-Two window modes cover the render's two passes:
-  - K1 "local": (win, win) windows with dynamic row+col offsets; valid
-    whenever the per-tile point spread is bounded (stratified/coarse
-    depths, and the frontal plane of the importance pass).
-  - K2 "strip": full-height rows x windowed cols (dynamic col offset
-    only), for plane axes fed by the depth coordinate of IMPORTANCE
-    samples, whose per-tile span is unbounded. The third plane reads
-    (z, x) — depth on the lane axis — and is handled by running K2 on
-    the transposed problem and transposing the (h, w, c) result back.
+All three planes run through ONE kernel invocation (grid 3T with
+per-plane output blocks — the per-call glue measured larger than the
+kernel). The depth coordinate spreads furthest per tile, so it is
+always mapped to the window ROW axis: plane 2 reads (z, x) with depth
+on the lane axis and is solved TRANSPOSED, its table transposed back.
+Coarse (stratified) passes use (64, 64) windows; importance passes
+need ts=3 tiles and (112, 64) windows, which on v5e costs the whole
+win back — the renderer keeps the XLA scatter for fine passes (the
+fine support here stays for configs whose densities concentrate).
 
 Exactness without shape games: offsets are computed from the per-tile
 min of live points, and if ANY live footprint escapes its window
@@ -80,12 +80,18 @@ class RayGeom:
         return self.n_views * self.rays_h * self.rays_w * self.n_samples
 
     def tile_dims(self):
-        """(tv, tu, ts) or None if no admissible tiling exists."""
+        """(tv, tu, ts) or None if no admissible tiling exists.
+
+        Fine passes group fewer consecutive samples per tile (ts=3):
+        importance depths are sorted per ray but spread with the sample
+        count, and halving the group keeps the depth-axis span inside
+        the widened 96-texel windows (splat_planes)."""
         tv = min(16, self.rays_h)
         tu = min(16, self.rays_w)
         if self.rays_h % tv or self.rays_w % tu:
             return None
-        for ts in (6, 8, 4, 3, 2, 1):
+        prefs = (3, 6, 4, 2, 8, 1) if self.fine else (6, 8, 4, 3, 2, 1)
+        for ts in prefs:
             if self.n_samples % ts == 0 and (tv * tu * ts) % _PS == 0:
                 return tv, tu, ts
         return None
@@ -104,20 +110,24 @@ def geom_supported(geom, h: int, w: int, n_points: int) -> bool:
 # Pallas kernel
 
 
-def _splat_kernel(win_h: int, win_w: int, ps: int, out_h: int, c: int):
+def _splat_kernel(win_h: int, win_w: int, ps: int, out_h: int, c: int,
+                  tiles_per_table: int):
     dyn_rows = win_h != out_h
 
-    def kernel(off_ref, fyx_ref, gft_ref, out_ref, dwd_ref):
+    def kernel(off_ref, fyx_ref, gf_ref, out_ref, dwd_ref):
         t = pl.program_id(0)
 
-        @pl.when(t == 0)
+        # One grid covers all tables (planes) back-to-back; the output
+        # block index_map switches tables at multiples of
+        # tiles_per_table, where the fresh block is zero-initialized.
+        @pl.when(t % tiles_per_table == 0)
         def _():
             out_ref[:] = jnp.zeros_like(out_ref)
 
         dwd_ref[:] = jnp.zeros_like(dwd_ref)
 
-        p = gft_ref.shape[2]
-        dt = gft_ref.dtype
+        p = gf_ref.shape[1]
+        dt = gf_ref.dtype
         io_y = jax.lax.broadcasted_iota(jnp.int32, (win_h, ps), 0).astype(
             jnp.float32
         )
@@ -129,7 +139,11 @@ def _splat_kernel(win_h: int, win_w: int, ps: int, out_h: int, c: int):
             s = i * ps
             fy = fyx_ref[0, 0:1, pl.ds(s, ps)]  # (1, PS)
             fx = fyx_ref[0, 1:2, pl.ds(s, ps)]
-            gf = gft_ref[0, :, pl.ds(s, ps)]  # (C, PS)
+            # gf arrives in its NATURAL (P, C) order; the (PS, C) ->
+            # (C, PS) flip happens here as a 16 KB in-VMEM shuffle. An
+            # XLA-side (T,P,C)->(T,C,P) relayout costs ~4 ms per
+            # plane-pass — several times the whole kernel (measured).
+            gf = jnp.swapaxes(gf_ref[0, pl.ds(s, ps), :], 0, 1)  # (C, PS)
 
             by = jnp.maximum(1.0 - jnp.abs(io_y - fy), 0.0).astype(dt)
             bx = jnp.maximum(1.0 - jnp.abs(x_of - fx), 0.0).astype(dt)
@@ -151,42 +165,59 @@ def _splat_kernel(win_h: int, win_w: int, ps: int, out_h: int, c: int):
 
         jax.lax.fori_loop(0, p // ps, sub, 0)
 
-        ox = pl.multiple_of(off_ref[t, 1] * c, 128)
+        ox = pl.multiple_of(off_ref[1, t] * c, 128)
         if dyn_rows:
-            oy = pl.multiple_of(off_ref[t, 0], 8)
-            out_ref[pl.ds(oy, win_h), pl.ds(ox, win_w * c)] += dwd_ref[:]
+            oy = pl.multiple_of(off_ref[0, t], 8)
+            out_ref[0, pl.ds(oy, win_h), pl.ds(ox, win_w * c)] += dwd_ref[:]
         else:
-            out_ref[:, pl.ds(ox, win_w * c)] += dwd_ref[:]
+            out_ref[0, :, pl.ds(ox, win_w * c)] += dwd_ref[:]
 
     return kernel
 
 
-def _splat_pallas(offsets, fyx, gft, *, win_h, win_w, out_h, out_w,
-                  interpret=False):
-    """offsets (T, 2) i32 [oy, ox]; fyx (T, 8, P) f32 window-relative
-    continuous coords (row 0 = fy, row 1 = fx; dead points < -1); gft
-    (T, C, P) cotangents -> (out_h, out_w * C) f32 splat table."""
+def _splat_pallas(offsets, fyx, gf_t, *, win_h, win_w, out_h, out_w,
+                  n_tables=1, interpret=False):
+    """offsets (2, T) i32 [oy; ox] (T on the minor axis: SMEM pads the
+    minor dimension to 128 lanes, so (T, 2) would cost T*512 bytes and
+    blow the 1 MB SMEM for fine-pass tile counts); fyx (T, 8, P) f32 window-relative
+    continuous coords (row 0 = fy, row 1 = fx; dead points < -1); gf_t
+    (T, P, C) cotangents (natural point-major order) -> (n_tables,
+    out_h, out_w * C) f32 splat tables. T covers all tables
+    back-to-back (T % n_tables == 0)."""
     t, _, p = fyx.shape
-    c = gft.shape[1]
-    kernel = _splat_kernel(win_h, win_w, _PS, out_h, c)
+    c = gf_t.shape[2]
+    tpt = t // n_tables
+    # Largest 128-multiple sub-chunk dividing P (<= 512): bigger K per
+    # MXU call and fewer dwd read-modify-write passes (the dwd VMEM
+    # traffic, not the matmul, bounds small-sub-chunk configs).
+    ps = _PS
+    for cand in (512, 384, 256, 128):
+        if p % cand == 0:
+            ps = cand
+            break
+    kernel = _splat_kernel(win_h, win_w, ps, out_h, c, tpt)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((out_h, out_w * c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_tables, out_h, out_w * c),
+                                       jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(t,),
             in_specs=[
                 pl.BlockSpec((1, 8, p), lambda i, off: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, c, p), lambda i, off: (i, 0, 0),
+                pl.BlockSpec((1, p, c), lambda i, off: (i, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((out_h, out_w * c), lambda i, off: (0, 0),
-                                   memory_space=pltpu.VMEM),
+            out_specs=pl.BlockSpec(
+                (1, out_h, out_w * c),
+                lambda i, off: (i // tpt, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
             scratch_shapes=[pltpu.VMEM((win_h, win_w * c), jnp.float32)],
         ),
         interpret=interpret,
-    )(offsets, fyx, gft)
+    )(offsets, fyx, gf_t)
 
 
 # ---------------------------------------------------------------------------
@@ -243,60 +274,67 @@ def _window_offsets(f, lo_ok, win: int, size: int, align: int = 8):
 
 
 def windowed_splat(fy_t, fx_t, g_t, h: int, w: int, *, win_h: int,
-                   win_w: int, strip_rows: bool, interpret=False):
-    """One plane-pass splat with window/strip kernel + overflow fallback.
+                   win_w: int, n_tables: int = 1, interpret=False):
+    """Multi-table windowed splat with overflow fallback.
 
-    fy_t/fx_t: (T, P) absolute texel coords, tile-ordered; g_t:
-    (T, P, C) cotangents. Returns (h * w, C) f32.
+    fy_t/fx_t: (T, P) absolute texel coords, tile-ordered, T covering
+    all `n_tables` tables back-to-back; g_t: (T, P, C) cotangents.
+    Returns (n_tables, h * w, C) f32.
     """
     t, p = fy_t.shape
     c = g_t.shape[-1]
+    tpt = t // n_tables
     live = (fy_t > -1) & (fy_t < h) & (fx_t > -1) & (fx_t < w)
 
-    if strip_rows:
-        oy = jnp.zeros((t,), jnp.int32)
-        ovf_y = jnp.zeros((t,), bool)
-        eff_win_h = h
-    else:
-        oy, ovf_y = _window_offsets(fy_t, live, win_h, h)
-        eff_win_h = win_h
+    oy, ovf_y = _window_offsets(fy_t, live, win_h, h)
     # The kernel's dynamic lane offset is ox*C, which Mosaic requires to
     # be 128-aligned; sublane (row) offsets need 8-alignment.
     ox, ovf_x = _window_offsets(fx_t, live, win_w, w,
                                 align=max(8, 128 // c))
     overflow = jnp.any(ovf_y | ovf_x)
-    import os
-
-    if os.environ.get("SPI_SPLAT_DEBUG"):
-        jax.debug.print(
-            "plane_splat overflow={o} (strip={s} win=({wh},{ww}) tiles={t})",
-            o=overflow, s=strip_rows, wh=eff_win_h, ww=win_w, t=t,
-        )
 
     dead = jnp.float32(-10.0)
     fyw = jnp.where(live, fy_t - oy[:, None].astype(jnp.float32), dead)
     fxw = jnp.where(live, fx_t - ox[:, None].astype(jnp.float32), dead)
-    fyx = jnp.zeros((t, 8, p), jnp.float32)
-    fyx = fyx.at[:, 0, :].set(fyw).at[:, 1, :].set(fxw)
-    offsets = jnp.stack([oy, ox], axis=1)
-    gft = jnp.swapaxes(g_t, 1, 2)  # (T, C, P)
+    # (T, 8, P): minor axis stays the point axis — a cheap, layout-
+    # friendly stack (XLA keeps row-major; no relayout before the
+    # kernel).
+    fyx = jnp.stack(
+        [fyw, fxw] + [jnp.zeros_like(fyw)] * 6, axis=1
+    )
+    offsets = jnp.stack([oy, ox], axis=0)  # (2, T): see _splat_pallas
 
     def fast(args):
-        offsets, fyx, gft, _fy, _fx, _g = args
+        offsets, fyx, g_t, _fy, _fx = args
         out = _splat_pallas(
-            offsets, fyx, gft, win_h=eff_win_h, win_w=win_w, out_h=h,
-            out_w=w, interpret=interpret,
+            offsets, fyx, g_t, win_h=win_h, win_w=win_w, out_h=h,
+            out_w=w, n_tables=n_tables, interpret=interpret,
         )
-        return out.reshape(h * w, gft.shape[1])
+        return out.reshape(n_tables, h * w, c)
 
     def slow(args):
-        _offsets, _fyx, _gft, fy, fx, g = args
-        return _splat_xla(fy.reshape(-1), fx.reshape(-1),
-                          g.reshape(-1, g.shape[-1]), h, w)
+        _offsets, _fyx, g, fy, fx = args
+        outs = [
+            _splat_xla(
+                fy[k * tpt:(k + 1) * tpt].reshape(-1),
+                fx[k * tpt:(k + 1) * tpt].reshape(-1),
+                g[k * tpt:(k + 1) * tpt].reshape(-1, c), h, w,
+            )
+            for k in range(n_tables)
+        ]
+        return jnp.stack(outs, axis=0)
 
-    return jax.lax.cond(
-        overflow, slow, fast, (offsets, fyx, gft, fy_t, fx_t, g_t)
-    )
+    import os
+
+    _dbg = os.environ.get("SPI_SPLAT_DEBUG_PATH", "")
+    args = (offsets, fyx, g_t, fy_t, fx_t)
+    if _dbg == "nofallback":  # perf bisection only
+        return fast(args)
+    if _dbg == "nokernel":  # perf bisection only: marshaling cost alone
+        return jnp.zeros((n_tables, h * w, c), jnp.float32) + jnp.float32(
+            jnp.sum(offsets)
+        ) * 0.0 + fyx[0, 0, 0] * 0.0 + g_t[0, 0, 0].astype(jnp.float32) * 0.0
+    return jax.lax.cond(overflow, slow, fast, args)
 
 
 def tile_order(x, geom: RayGeom, tv: int, tu: int, ts: int):
@@ -314,30 +352,42 @@ def splat_planes(grids, g, geom: RayGeom, h: int, w: int, interpret=False):
     (1, 3, P, C) cotangents -> (1, 3, h * w, C) f32.
 
     grids carry CONTINUOUS texel coords (fx, fy) per plane (the
-    align_corners=False mapping applied by the caller). Plane axis
-    order follows renderer.project_onto_planes: plane 0 (x, y),
-    plane 1 (x, z), plane 2 (z, x).
+    align_corners=False mapping applied by the caller). All three
+    planes run through ONE kernel invocation (grid 3T, per-plane
+    output blocks): the per-call glue (cond operands, barrier, kernel
+    launch) measured larger than the kernel itself, so it is paid once.
+
+    Window geometry: the depth coordinate spreads furthest per tile, so
+    it is always mapped to the ROW axis — plane 2 reads (z, x) with z
+    on the lane axis and is therefore solved TRANSPOSED (rows <- z)
+    and its table transposed back. Coarse passes use (64, 64) windows;
+    fine passes use ts=3 tiles (tile_dims) with (112, 64) windows — a
+    sorted-uniform depth group escaping 112 texels is ~1e-6 per tile,
+    and the lax.cond scatter fallback keeps those exact.
     """
     tv, tu, ts = geom.tile_dims()
     c = g.shape[-1]
-    outs = []
-    for p_i in range(3):
-        fx = tile_order(grids[0, p_i, :, 0], geom, tv, tu, ts)
-        fy = tile_order(grids[0, p_i, :, 1], geom, tv, tu, ts)
-        g_t = tile_order(g[0, p_i], geom, tv, tu, ts)
-        if not geom.fine or p_i == 0:
-            out = windowed_splat(fy, fx, g_t, h, w, win_h=64, win_w=64,
-                                 strip_rows=False, interpret=interpret)
-        elif p_i == 1:
-            # rows <- z (importance depths: unbounded tile span) -> strip
-            out = windowed_splat(fy, fx, g_t, h, w, win_h=h, win_w=48,
-                                 strip_rows=True, interpret=interpret)
-        else:
-            # plane 2 reads (z, x): depth on the LANE axis. Solve the
-            # transposed problem (rows <- z strip, cols <- x window) and
-            # transpose the (h, w, c) table back.
-            out = windowed_splat(fx, fy, g_t, w, h, win_h=w, win_w=48,
-                                 strip_rows=True, interpret=interpret)
-            out = jnp.swapaxes(out.reshape(w, h, c), 0, 1).reshape(h * w, c)
-        outs.append(out)
-    return jnp.stack(outs, axis=0)[None]
+    win_h, win_w = (112, 64) if geom.fine else (64, 64)
+    geom3 = RayGeom(3 * geom.n_views, geom.rays_h, geom.rays_w,
+                    geom.n_samples, geom.fine)
+    # Per-plane (fx, fy) with plane 2 swapped (transposed problem).
+    fx_all = jnp.concatenate(
+        [grids[0, 0, :, 0], grids[0, 1, :, 0], grids[0, 2, :, 1]]
+    )
+    fy_all = jnp.concatenate(
+        [grids[0, 0, :, 1], grids[0, 1, :, 1], grids[0, 2, :, 0]]
+    )
+    fx = tile_order(fx_all, geom3, tv, tu, ts)
+    fy = tile_order(fy_all, geom3, tv, tu, ts)
+    g_t = tile_order(g[0].reshape(-1, c), geom3, tv, tu, ts)
+    # Materialize the tile reorder in canonical layout before the
+    # kernel: letting XLA fuse the 7-D tile_order transpose into the
+    # splat's consumers costs ~6 ms per plane-pass (strided access in
+    # every consumer); behind a barrier the windowed splat runs at its
+    # standalone speed (measured, v5e).
+    fy, fx, g_t = jax.lax.optimization_barrier((fy, fx, g_t))
+    out = windowed_splat(fy, fx, g_t, h, w, win_h=win_h, win_w=win_w,
+                         n_tables=3, interpret=interpret)
+    # un-transpose plane 2's table (rows were z, cols x_world)
+    p2 = jnp.swapaxes(out[2].reshape(w, h, c), 0, 1).reshape(h * w, c)
+    return jnp.stack([out[0], out[1], p2], axis=0)[None]
