@@ -447,6 +447,12 @@ class ImportanceRenderer:
         def make_geom(k: int, fine: bool):
             if not rays_w or m % rays_w:
                 return None
+            if n > 1:
+                # Chunked multi-camera fan-outs split the pass into 4x
+                # smaller kernels with 4x the per-call glue (barrier,
+                # cond operands, launch) — measured to give the
+                # single-camera win back. Keep the XLA scatter there.
+                return None
             if fine:
                 # Importance depths spread too far per tile: the splat
                 # needs ts=3 tiles + 112-tall windows, whose extra tile
